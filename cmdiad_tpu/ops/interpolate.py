@@ -1,0 +1,54 @@
+"""Inverse-distance-weighted 3-NN feature upsampling.
+
+Replaces ``models/pointnet2_utils.interpolating_points`` (reference :45-75):
+group features at G centers are propagated to every point of the full set by
+averaging the 3 nearest centers' features with 1/(d²+1e-8) weights (the
+reference computes *squared* distances and never square-roots them — we keep
+that exactly).
+
+TPU-first shape strategy: instead of interpolating only the variable-length
+nonzero points and scattering them back into a 224² grid
+(features.py:169-177), we interpolate *every* grid position (static (B,P,3))
+and zero out invalid ones with the mask.  The gather of 3 center-features per
+point is expressed as a dense (P,G) sparse-weight matmul so the whole op runs
+on the MXU instead of a scatter/gather pipeline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cmdiad_tpu.ops.knn import pairwise_sqdist
+
+
+def three_nn_interpolate(points: jnp.ndarray, mask: jnp.ndarray,
+                         centers: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
+    """IDW-interpolate center features onto all (masked) points.
+
+    Args:
+      points:  (B, P, 3) full padded point set.
+      mask:    (B, P) validity.
+      centers: (B, G, 3) sampled centers.
+      feats:   (B, G, D) per-center features.
+    Returns:
+      (B, P, D) interpolated features; zero rows where mask is False.
+    """
+    d = pairwise_sqdist(points.astype(jnp.float32), centers.astype(jnp.float32))
+    # 3 nearest centers per point (ascending distance).
+    neg_top, idx = lax.top_k(-d, 3)                      # (B, P, 3)
+    top = -neg_top
+    recip = 1.0 / (top + 1e-8)
+    w = recip / jnp.sum(recip, axis=-1, keepdims=True)   # (B, P, 3)
+
+    # Dense (P, G) weight matrix with 3 nonzeros per row -> one MXU matmul.
+    B, P, _ = points.shape
+    G = centers.shape[1]
+    wmat = jnp.zeros((B, P, G), jnp.float32)
+    rows = jnp.broadcast_to(jnp.arange(P)[None, :, None], idx.shape)
+    batch = jnp.broadcast_to(jnp.arange(B)[:, None, None], idx.shape)
+    wmat = wmat.at[batch, rows, idx].add(w)
+    out = jnp.einsum("bpg,bgd->bpd", wmat, feats.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out * mask[..., None].astype(out.dtype)

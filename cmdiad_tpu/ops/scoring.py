@@ -1,0 +1,160 @@
+"""PatchCore-style memory-bank anomaly scoring.
+
+Replaces the reference's per-sample scoring stack
+(``Features.calculate_dist`` + ``Features.compute_single_s_s_map``,
+feature_extractors/features.py:186-205,225-297): nearest-neighbour distance
+of each test patch to the memory bank, image score from the most anomalous
+patch reweighted by its bank neighbourhood (paper eq. 7), and a blurred
+bilinear-upsampled segmentation map.
+
+TPU design notes:
+  * the (Np, Nb) distance matrix is never fully materialised for large banks —
+    ``bank_min_dist`` scans over bank chunks keeping a running (min, argmin),
+    so HBM traffic is one pass over the bank at matmul speed (MXU does the
+    -2·x·yᵀ term);
+  * banks are padded to a bucket size for jit-cache friendliness; padding rows
+    are filled with ``PAD_VALUE`` so they can never win a min;
+  * everything downstream of the distances (argmax, top-3 reweight, resize,
+    blur) is fused into the same jitted program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cmdiad_tpu.ops.blur import knn_gaussian_blur
+from cmdiad_tpu.ops.pooling import bilinear_resize
+
+# Value written into bank padding rows; far from any normalised feature.
+PAD_VALUE = 1e6
+
+
+def cdist(a: jnp.ndarray, b: jnp.ndarray, metric: str = "l2") -> jnp.ndarray:
+    """Dense pairwise distances (N, D) x (M, D) -> (N, M).
+
+    metric: 'l2' (euclidean, torch.cdist), 'l1' (cityblock),
+    'cos_dist' (1 - cosine similarity) — the reference's three
+    ``dist_method_s`` options (features.py:186-205).
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if metric == "l2":
+        a2 = jnp.sum(a * a, -1)[:, None]
+        b2 = jnp.sum(b * b, -1)[None, :]
+        ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        return jnp.sqrt(jnp.maximum(a2 + b2 - 2.0 * ab, 0.0))
+    if metric == "cos_dist":
+        an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-30)
+        bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-30)
+        return 1.0 - jnp.dot(an, bn.T, preferred_element_type=jnp.float32)
+    if metric == "l1":
+        # Chunk over rows of `a` to bound the (chunk, M, D) broadcast.
+        chunk = max(1, min(a.shape[0], 2 ** 22 // max(b.shape[0], 1)))
+        pad = (-a.shape[0]) % chunk
+        a_p = jnp.pad(a, ((0, pad), (0, 0)))
+
+        def f(rows):
+            return jnp.sum(jnp.abs(rows[:, None, :] - b[None, :, :]), axis=-1)
+
+        out = lax.map(f, a_p.reshape(-1, chunk, a.shape[1]))
+        return out.reshape(-1, b.shape[0])[: a.shape[0]]
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def bank_min_dist(patch: jnp.ndarray, bank: jnp.ndarray,
+                  metric: str = "l2", chunk: int = 8192):
+    """Per-patch (min distance, argmin index) over the bank, chunk-scanned.
+
+    Args:
+      patch: (Np, D); bank: (Nb, D) with Nb a multiple of ``chunk`` or smaller.
+    Returns:
+      min_val (Np,), min_idx (Np,) int32.
+    """
+    nb = bank.shape[0]
+    if nb <= chunk:
+        d = cdist(patch, bank, metric)
+        return jnp.min(d, axis=1), jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    pad = (-nb) % chunk
+    bank_p = jnp.pad(bank, ((0, pad), (0, 0)), constant_values=PAD_VALUE)
+    n_chunks = bank_p.shape[0] // chunk
+    chunks = bank_p.reshape(n_chunks, chunk, bank.shape[1])
+
+    def body(carry, xs):
+        best_val, best_idx = carry
+        c_idx, rows = xs
+        d = cdist(patch, rows, metric)
+        v = jnp.min(d, axis=1)
+        i = jnp.argmin(d, axis=1).astype(jnp.int32) + c_idx * chunk
+        take = v < best_val
+        return (jnp.where(take, v, best_val), jnp.where(take, i, best_idx)), None
+
+    init = (jnp.full((patch.shape[0],), jnp.inf, jnp.float32),
+            jnp.zeros((patch.shape[0],), jnp.int32))
+    (mv, mi), _ = lax.scan(body, init, (jnp.arange(n_chunks), chunks))
+    return mv, mi
+
+
+def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
+                    feat_hw, out_size: int = 224, metric: str = "l2",
+                    n_reweight: int = 3, blur_radius: float = 4.0):
+    """Image score + segmentation map for one sample against one bank.
+
+    Mirrors ``Features.compute_single_s_s_map`` (features.py:225-297):
+      s_map  = per-patch NN distance, reshaped (h, w), bilinear -> out_size²,
+               PIL-style Gaussian blur;
+      s*     = max over patches of the NN distance;
+      reweight (paper eq. 7): with m_test the most anomalous patch and m_star
+               its bank NN, find the ``n_reweight`` NNs of m_star *in the
+               bank* (itself included at distance 0), drop the first, and
+               compute  w = 1 - exp(s*/√D) / Σ exp(‖m_test - nn_j‖/√D);
+      s      = w · s*.
+
+    Args:
+      patch: (Np, D) normalised test patches; bank: (Nb, D).
+      feat_hw: (h, w) with h*w == Np.
+    Returns:
+      s (scalar), s_map (out_size, out_size).
+    """
+    min_val, min_idx = bank_min_dist(patch, bank, metric)
+    s_idx = jnp.argmax(min_val)
+    s_star = min_val[s_idx]
+
+    m_test = patch[s_idx]
+    m_star = bank[min_idx[s_idx]]
+    w_dist = cdist(m_star[None, :], bank, metric)[0]
+    _, nn_idx = lax.top_k(-w_dist, n_reweight)
+    # nn_idx[0] is m_star itself (distance 0); eq. 7 uses the remaining ones.
+    m_star_knn = jnp.linalg.norm(m_test[None, :] - bank[nn_idx[1:]], axis=1)
+
+    d_sqrt = jnp.sqrt(jnp.float32(patch.shape[1]))
+    w = 1.0 - jnp.exp(s_star / d_sqrt) / jnp.sum(jnp.exp(m_star_knn / d_sqrt))
+    s = w * s_star
+
+    h, w_ = feat_hw
+    s_map = min_val.reshape(h, w_)[..., None]
+    s_map = bilinear_resize(s_map, (out_size, out_size))[..., 0]
+    s_map = knn_gaussian_blur(s_map, blur_radius)
+    return s, s_map
+
+
+@functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
+                                             "n_reweight"))
+def patchcore_score_jit(patch, bank, feat_hw, out_size=224, metric="l2",
+                        n_reweight=3):
+    return patchcore_score(patch, bank, feat_hw, out_size, metric, n_reweight)
+
+
+def pad_bank(bank: jnp.ndarray, bucket: int = 8192) -> jnp.ndarray:
+    """Pad bank rows up to a bucket multiple with PAD_VALUE rows (jit-cache)."""
+    import numpy as np
+    n = bank.shape[0]
+    target = int(np.ceil(max(n, 1) / bucket) * bucket)
+    if target == n:
+        return bank
+    pad = jnp.full((target - n, bank.shape[1]), PAD_VALUE, bank.dtype)
+    return jnp.concatenate([bank, pad], axis=0)

@@ -1,0 +1,109 @@
+"""Masked FPS / KNN / interpolation vs tiny numpy oracles.
+
+The oracles implement the documented semantics of the reference's CUDA
+dependencies (pointnet2_ops FPS seeded at index 0, KNN_CUDA ascending-sorted
+neighbours, pointnet2_utils 3-NN IDW) directly in numpy on the zero-filtered
+point list, then results are compared against our masked fixed-capacity ops.
+"""
+
+import numpy as np
+import pytest
+
+from cmdiad_tpu.ops import fps, knn, interpolate, masked
+
+
+def _numpy_fps(points, n):
+    """Farthest-first on an unpadded point list, seed index 0."""
+    idxs = [0]
+    min_d = np.full(len(points), 1e10)
+    for _ in range(n - 1):
+        d = np.sum((points - points[idxs[-1]]) ** 2, axis=1)
+        min_d = np.minimum(min_d, d)
+        idxs.append(int(np.argmax(min_d)))
+    return np.array(idxs)
+
+
+def _make_masked_points(rng, p=512, n_valid=300):
+    pts = np.zeros((p, 3), np.float32)
+    pts[:n_valid] = rng.normal(size=(n_valid, 3)).astype(np.float32) + 5.0
+    perm = rng.permutation(p)
+    return pts[perm], perm
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_fps_matches_numpy_oracle(rng, use_pallas):
+    pts, perm = _make_masked_points(rng)
+    mask = np.asarray(masked.nonzero_point_mask(pts))
+    valid_pts = pts[mask]
+    oracle_idx = _numpy_fps(valid_pts, 32)
+    oracle_centers = valid_pts[oracle_idx]
+
+    centers, idx = fps.farthest_point_sample(
+        pts[None], mask[None], 32, use_pallas=use_pallas)
+    centers = np.asarray(centers[0])
+    # selected centers must be identical points (indices differ by packing)
+    np.testing.assert_allclose(centers, oracle_centers, rtol=1e-5, atol=1e-5)
+    # every selected index must point at a valid point
+    assert mask[np.asarray(idx[0])].all()
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_fps_never_selects_invalid(rng, use_pallas):
+    pts, _ = _make_masked_points(rng, p=256, n_valid=40)
+    mask = np.asarray(masked.nonzero_point_mask(pts))
+    _, idx = fps.farthest_point_sample(pts[None], mask[None], 16,
+                                       use_pallas=use_pallas)
+    assert mask[np.asarray(idx[0])].all()
+
+
+def test_fps_batched(rng):
+    pts1, _ = _make_masked_points(rng, 256, 100)
+    pts2, _ = _make_masked_points(rng, 256, 200)
+    batch = np.stack([pts1, pts2])
+    mask = np.asarray(masked.nonzero_point_mask(batch))
+    c, i = fps.farthest_point_sample(batch, mask, 8, use_pallas=False)
+    assert c.shape == (2, 8, 3) and i.shape == (2, 8)
+
+
+def test_knn_matches_numpy(rng):
+    pts, _ = _make_masked_points(rng, p=300, n_valid=250)
+    mask = np.asarray(masked.nonzero_point_mask(pts))
+    centers = pts[mask][:17]
+    idx = np.asarray(knn.masked_knn(pts[None], mask[None], centers[None], 5)[0])
+    d = np.linalg.norm(centers[:, None] - pts[None], axis=-1)
+    d[:, ~mask] = np.inf
+    oracle = np.argsort(d, axis=1, kind="stable")[:, :5]
+    got_d = np.take_along_axis(d, idx, axis=1)
+    want_d = np.take_along_axis(d, oracle, axis=1)
+    np.testing.assert_allclose(np.sort(got_d, 1), np.sort(want_d, 1),
+                               rtol=1e-4, atol=1e-5)
+    # ascending order within each row
+    assert (np.diff(got_d, axis=1) >= -1e-5).all()
+    # no invalid point selected
+    assert mask[idx].all()
+
+
+def test_three_nn_interpolate_matches_numpy(rng):
+    p, g, d = 200, 12, 7
+    pts, _ = _make_masked_points(rng, p, 150)
+    mask = np.asarray(masked.nonzero_point_mask(pts))
+    centers = rng.normal(size=(g, 3)).astype(np.float32) + 5.0
+    feats = rng.normal(size=(g, d)).astype(np.float32)
+
+    out = np.asarray(interpolate.three_nn_interpolate(
+        pts[None], mask[None], centers[None], feats[None])[0])
+
+    # numpy oracle mirroring pointnet2_utils.interpolating_points on the
+    # valid points (squared distances, 1/(d+1e-8) weights, top-3)
+    dist = np.sum((pts[:, None] - centers[None]) ** 2, axis=-1)
+    order = np.argsort(dist, axis=1)[:, :3]
+    d3 = np.take_along_axis(dist, order, axis=1)
+    w = 1.0 / (d3 + 1e-8)
+    w = w / w.sum(axis=1, keepdims=True)
+    oracle = np.einsum("pk,pkd->pd", w, feats[order])
+    oracle[~mask] = 0.0
+
+    # atol dominates: the (a²+b²-2ab) fp32 distance expansion can flip the
+    # top-3 choice between near-equidistant centers, moving near-zero weights
+    np.testing.assert_allclose(out, oracle, rtol=1e-3, atol=1e-4)
+    assert np.abs(out[~mask]).max() == 0.0
