@@ -1,0 +1,139 @@
+"""Vision Transformer (ViT-B/8, DINO weights) in Flax.
+
+Reimplements the RGB backbone path of the reference
+(``models/models.py:35-53``: timm ``vit_base_patch8_224_dino`` run as
+patch_embed -> _pos_embed -> norm_pre -> 12 blocks -> norm, then the 784
+patch tokens reshaped to a 28x28x768 grid).  The architecture is the standard
+pre-LN ViT: conv patch embedding, learned cls token + position embeddings,
+multi-head self-attention blocks with 4x GELU MLPs, LayerNorm eps 1e-6,
+qkv_bias=True.  Weights convert from the timm checkpoint via
+``models.convert.vit_from_timm``.
+
+TPU notes: attention is computed as plain einsums over a static 785-token
+sequence — XLA fuses softmax(QK^T)V fine at this size (no flash kernel
+needed; the whole forward is MXU-bound).  ``dtype`` selects the compute
+precision (bfloat16 for speed, float32 for checkpoint parity); parameters
+stay float32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    img_size: int = 224
+    patch_size: int = 8
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+
+VIT_CONFIGS = {
+    # timm names accepted by the reference CLI (main.py:95-98)
+    "vit_base_patch8_224_dino": ViTConfig(),
+    "vit_base_patch8_224": ViTConfig(),
+    "vit_base_patch8_224_in21k": ViTConfig(),
+    "vit_small_patch8_224_dino": ViTConfig(embed_dim=384, num_heads=6),
+}
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv",
+                       dtype=self.dtype)(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b,n,h,d)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = out.reshape(b, n, c)
+        return nn.Dense(self.dim, name="proj", dtype=self.dtype)(out)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1", dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, name="fc2", dtype=self.dtype)(x)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool
+    ln_eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.ln_eps, name="norm1", dtype=self.dtype)(x)
+        x = x + Attention(self.dim, self.num_heads, self.qkv_bias,
+                          dtype=self.dtype, name="attn")(y)
+        y = nn.LayerNorm(epsilon=self.ln_eps, name="norm2", dtype=self.dtype)(x)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                    dtype=self.dtype, name="mlp")(y)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """Forward-features ViT returning the patch-token grid (B, g, g, C)."""
+
+    config: ViTConfig = ViTConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, 3), already resized + ImageNet-normalised."""
+        cfg = self.config
+        b = images.shape[0]
+        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size),
+                    name="patch_embed", dtype=self.dtype)(images.astype(self.dtype))
+        x = x.reshape(b, cfg.num_patches, cfg.embed_dim)
+
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, cfg.embed_dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, cfg.num_patches + 1, cfg.embed_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(self.dtype), x], axis=1)
+        x = x + pos.astype(self.dtype)
+
+        for i in range(cfg.depth):
+            x = Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
+                      cfg.qkv_bias, cfg.ln_eps, dtype=self.dtype,
+                      name=f"blocks_{i}")(x)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm", dtype=self.dtype)(x)
+        patches = x[:, 1:]  # drop cls (models/models.py:52)
+        return patches.reshape(b, cfg.grid, cfg.grid, cfg.embed_dim)
