@@ -1,0 +1,217 @@
+"""Shared memory-bank method machinery.
+
+Reimplements the reference's ``Features`` base class
+(feature_extractors/features.py:21-425) TPU-first:
+
+  * feature extraction is the jitted DualBackbone (no per-sample host hops);
+  * banks accumulate as host numpy, then live on device padded to a bucket
+    size (ops.scoring.pad_bank) once coreset selection has run;
+  * per-sample scoring is one jitted program per (bank bucket, feat grid):
+    normalise -> chunked bank min-distance -> eq.7 reweight -> bilinear ->
+    PIL-parity blur (ops.scoring.patchcore_score);
+  * the OCSVM late fusion and metric bookkeeping match the reference flow
+    (fit pass 2 -> s_lib/s_map_lib -> SGDOneClassSVM; predict ->
+    score_samples -> AUROC/AU-PRO).
+
+Reference quirk Q1 (cross-wired normalisation statistics in the multi-bank
+methods, multiple_features.py:372-377/616-621/877-880) is replicated by
+default for checkpoint parity and can be disabled with
+``fix_cross_stats=True`` on the method.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cmdiad_tpu.config import Config
+from cmdiad_tpu.fusion.ocsvm import SGDOneClassSVM
+from cmdiad_tpu.metrics import roc_auc_score, calculate_au_pro
+from cmdiad_tpu.models.backbone import DualBackbone
+from cmdiad_tpu.ops.coreset import coreset_select
+from cmdiad_tpu.ops.scoring import patchcore_score, pad_bank
+
+
+@functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
+                                             "n_reweight"))
+def _score_one(patch, bank, mean, std, feat_hw, out_size, metric, n_reweight):
+    normed = (patch - mean) / std
+    return patchcore_score(normed, bank, feat_hw, out_size=out_size,
+                           metric=metric, n_reweight=n_reweight)
+
+
+class MemoryBankMethod:
+    """Base: bank accumulation, coreset, scoring, late fusion, metrics."""
+
+    #: bank names this method maintains (subclasses set)
+    bank_names: Tuple[str, ...] = ()
+
+    def __init__(self, cfg: Config, backbone: DualBackbone,
+                 params, fusion=None, fusion_vars=None,
+                 fix_cross_stats: bool = False):
+        self.cfg = cfg
+        self.backbone = backbone
+        self.params = params
+        self.fusion = fusion
+        self.fusion_vars = fusion_vars
+        self.fix_cross_stats = fix_cross_stats
+        self.class_name: Optional[str] = None
+
+        self._bank_acc: Dict[str, List[np.ndarray]] = {n: [] for n in self.bank_names}
+        self.banks: Dict[str, jnp.ndarray] = {}
+        self.stats: Dict[str, Tuple[float, float]] = {}
+
+        self.detect_fuser = SGDOneClassSVM(
+            nu=cfg.ocsvm_nu, max_iter=cfg.ocsvm_maxiter, random_state=42,
+            backend=cfg.ocsvm_backend)
+        self.seg_fuser = SGDOneClassSVM(
+            nu=cfg.ocsvm_nu, max_iter=cfg.ocsvm_maxiter, random_state=42,
+            backend=cfg.ocsvm_backend)
+        self.s_lib: List[np.ndarray] = []
+        self.s_map_lib: List[np.ndarray] = []
+
+        self.image_preds: List[float] = []
+        self.image_labels: List[int] = []
+        self.pixel_preds: List[np.ndarray] = []
+        self.pixel_labels: List[np.ndarray] = []
+        self.predictions: List[np.ndarray] = []
+        self.gts: List[np.ndarray] = []
+        self.img_paths: List[str] = []
+
+        self.image_rocauc = self.pixel_rocauc = 0.0
+        self.au_pro = self.au_pro_001 = 0.0
+
+    # ---------------- feature helpers ------------------------------------
+    def _device_batch(self, sample: dict) -> dict:
+        out = {}
+        for k in ("rgb", "organized_pc", "depth3"):
+            if k in sample:
+                v = np.asarray(sample[k])
+                out[k] = jnp.asarray(v[None] if v.ndim == 3 else v)
+        return out
+
+    def extract(self, sample: dict, rgb_key: str = "rgb",
+                with_2828: bool = False) -> dict:
+        dev = self._device_batch(sample)
+        return self.backbone.extract(
+            self.params, images=dev.get(rgb_key),
+            organized_pc=dev.get("organized_pc"), with_2828=with_2828)
+
+    # ---------------- bank building ---------------------------------------
+    def _append(self, name: str, patch) -> None:
+        """patch: (1, Np, D) or (Np, D) device array."""
+        arr = np.asarray(patch)
+        if arr.ndim == 3:
+            arr = arr.reshape(-1, arr.shape[-1])
+        self._bank_acc[name].append(arr)
+
+    def _finalize_banks(self, norm_names, coreset_names,
+                        stats_pairs: Optional[Dict[str, Tuple[str, str]]] = None):
+        """Concat accumulators, compute (possibly cross-wired) stats,
+        normalise + coreset-select the requested banks.
+
+        stats_pairs maps bank -> (mean_source, std_source); the reference's
+        Q1 wiring is expressed by passing e.g. {'rgb': ('xyz', 'rgb')}.
+        """
+        cat = {n: np.concatenate(self._bank_acc[n], axis=0)
+               for n in self.bank_names}
+        stats_pairs = stats_pairs or {n: (n, n) for n in self.bank_names}
+        if self.fix_cross_stats:
+            stats_pairs = {n: (n, n) for n in self.bank_names}
+        for n in self.bank_names:
+            msrc, ssrc = stats_pairs[n]
+            mean = float(cat[msrc].mean())
+            std = float(cat[ssrc].std(ddof=1))
+            self.stats[n] = (mean, std)
+        for n in self.bank_names:
+            bank = cat[n]
+            if n in norm_names:
+                mean, std = self.stats[n]
+                bank = (bank - mean) / std
+            if n in coreset_names and self.cfg.f_coreset < 1:
+                idx = coreset_select(
+                    jnp.asarray(bank), self.cfg.f_coreset,
+                    eps=self.cfg.coreset_eps,
+                    seed=self.cfg.random_state or 0,
+                    metric=self.cfg.dist_method_coreset,
+                    compute_dtype=self.cfg.coreset_dtype)
+                bank = bank[np.asarray(idx)]
+            self.banks[n] = pad_bank(jnp.asarray(bank, jnp.float32))
+        self._bank_acc = {n: [] for n in self.bank_names}
+
+    # ---------------- scoring ---------------------------------------------
+    def score_patch(self, patch, bank_name: str):
+        """patch (1, Np, D) or (Np, D) -> (s scalar, s_map (gt, gt) np)."""
+        p = patch[0] if patch.ndim == 3 else patch
+        npatch = p.shape[0]
+        side = int(np.sqrt(npatch))
+        mean, std = self.stats[bank_name]
+        s, s_map = _score_one(
+            p, self.banks[bank_name], jnp.float32(mean), jnp.float32(std),
+            feat_hw=(side, side), out_size=self.cfg.gt_size,
+            metric=self.cfg.dist_method_s, n_reweight=self.cfg.n_reweight)
+        return s, s_map
+
+    # ---------------- late fusion ------------------------------------------
+    def _push_late_fusion(self, s_vec: np.ndarray, s_maps: np.ndarray):
+        """s_vec (k,), s_maps (k, gt, gt) λ-weighted."""
+        self.s_lib.append(np.asarray(s_vec, np.float64).reshape(1, -1))
+        self.s_map_lib.append(
+            np.asarray(s_maps, np.float64).reshape(len(s_vec), -1).T)
+
+    def run_late_fusion(self):
+        s_lib = np.concatenate(self.s_lib, axis=0)
+        s_map_lib = np.concatenate(self.s_map_lib, axis=0)
+        self.detect_fuser.fit(s_lib)
+        self.seg_fuser.fit(s_map_lib)
+        self.s_lib, self.s_map_lib = [], []
+
+    def _record_prediction(self, s_vec, s_maps, mask, label, rgb_path):
+        """Fuse λ-weighted scores through the OCSVMs and store metrics rows."""
+        s = float(self.detect_fuser.score_samples(
+            np.asarray(s_vec, np.float64).reshape(1, -1))[0])
+        flat = np.asarray(s_maps, np.float64).reshape(len(s_vec), -1).T
+        fused_map = self.seg_fuser.score_samples(flat).reshape(
+            self.cfg.gt_size, self.cfg.gt_size)
+        mask_np = np.asarray(mask).reshape(self.cfg.gt_size, self.cfg.gt_size)
+        self.image_preds.append(s)
+        self.image_labels.append(int(label))
+        self.pixel_preds.append(fused_map.reshape(-1))
+        self.pixel_labels.append(mask_np.reshape(-1))
+        self.predictions.append(fused_map)
+        self.gts.append(mask_np)
+        self.img_paths.append(rgb_path)
+
+    # ---------------- metrics ----------------------------------------------
+    def calculate_metrics(self) -> dict:
+        image_preds = np.asarray(self.image_preds)
+        image_labels = np.asarray(self.image_labels)
+        pixel_preds = np.concatenate(self.pixel_preds)
+        pixel_labels = np.concatenate(self.pixel_labels)
+        self.image_rocauc = roc_auc_score(image_labels, image_preds)
+        self.pixel_rocauc = roc_auc_score(pixel_labels, pixel_preds)
+        self.au_pro, _ = calculate_au_pro(self.gts, self.predictions)
+        self.au_pro_001, _ = calculate_au_pro(self.gts, self.predictions, 0.01)
+        return {
+            "image_rocauc": self.image_rocauc,
+            "pixel_rocauc": self.pixel_rocauc,
+            "au_pro": self.au_pro,
+            "au_pro_001": self.au_pro_001,
+        }
+
+    # ---------------- abstract protocol -------------------------------------
+    def add_sample_to_mem_bank(self, sample: dict, class_name: str = None):
+        raise NotImplementedError
+
+    def run_coreset(self):
+        raise NotImplementedError
+
+    def add_sample_to_late_fusion_mem_bank(self, sample: dict):
+        raise NotImplementedError
+
+    def predict(self, sample: dict, mask, label, rgb_path: str):
+        raise NotImplementedError

@@ -1,0 +1,98 @@
+"""Method factory (reference cmdiad_runner.py:16-31 method registry +
+Features.__init__ fusion-module selection, features.py:91-112)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmdiad_tpu.config import Config
+from cmdiad_tpu.models.backbone import DualBackbone
+from cmdiad_tpu.models import convert
+from cmdiad_tpu.models.hallucination import FtoFMlp, FtoFConv, FtoIMlp, FtoIConv
+from cmdiad_tpu.models.hrnet import HRNet
+from cmdiad_tpu.methods import variants
+
+_METHODS = {
+    "DINO": variants.RGBMethod,
+    "Point_MAE": variants.PointMethod,
+    "DINO+Point_MAE": variants.DoubleMethod,
+    "Depth": variants.DepthMethod,
+    "WithHallucination": variants.HallucinationMethod,
+    "WithHallucinationFromFeature": variants.HallucinationFromFeatureMethod,
+}
+
+
+def build_fusion(cfg: Config):
+    """(module, variables) for the configured MTFI fusion net, or (None, None)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if cfg.use_hn:
+        rgb_dim = 384 if cfg.rgb_backbone_name == "vit_small_patch8_224_dino" else 768
+        net = FtoFMlp(768, rgb_dim, dtype=dtype)
+        init_args = (jnp.zeros((1, 4, 768)), jnp.zeros((1, 4, rgb_dim)))
+        loader = convert.ftof_mlp_from_torch
+    elif cfg.use_hn_conv:
+        net = FtoFConv(dtype=dtype)
+        init_args = (jnp.zeros((1, 3136, 768)), jnp.zeros((1, 3136, 768)))
+        loader = convert.ftof_conv_from_torch
+    elif cfg.use_hn_from_rgb_mlp:
+        net = FtoIMlp(768, out_size=cfg.xyz_size, dtype=dtype)
+        init_args = (jnp.zeros((1, 3136, 768)),)
+        loader = convert.ftoi_mlp_from_torch
+    elif cfg.use_hn_from_rgb_conv:
+        net = FtoIConv(768, out_size=cfg.xyz_size, dtype=dtype)
+        init_args = (jnp.zeros((1, 3136, 768)),)
+        loader = convert.ftoi_conv_from_torch
+    elif cfg.use_hrnet:
+        net = HRNet(768, dtype=dtype)
+        init_args = (jnp.zeros((1, cfg.rgb_size, cfg.rgb_size, 3)),)
+        loader = convert.hrnet_from_torch
+    else:
+        return None, None
+
+    if cfg.fusion_module_path:
+        path = cfg.fusion_module_path
+        if path.endswith((".pth", ".pt")):
+            fusion_vars = loader(convert.load_torch_checkpoint(path))
+            fusion_vars = jax.tree.map(jnp.asarray, fusion_vars)
+        else:
+            from cmdiad_tpu.train.checkpoint import load_pytree
+            fusion_vars = load_pytree(path)
+    else:
+        fusion_vars = net.init(jax.random.PRNGKey(0), *init_args)
+    return net, fusion_vars
+
+
+def load_backbone_params(cfg: Config, backbone: DualBackbone):
+    """Converted checkpoints when paths are configured; random otherwise."""
+    params = backbone.init_params(cfg.seed)
+    if cfg.rgb_ckpt_path:
+        sd = convert.load_torch_checkpoint(cfg.rgb_ckpt_path)
+        params["vit"] = jax.tree.map(
+            jnp.asarray, convert.vit_from_timm(sd, depth=backbone.vit_config.depth))
+    if cfg.xyz_ckpt_path:
+        sd = convert.strip_pointmae_prefixes(
+            convert.load_torch_checkpoint(cfg.xyz_ckpt_path))
+        params["point"] = jax.tree.map(
+            jnp.asarray,
+            convert.point_mae_from_torch(sd, depth=backbone.pm_config.depth))
+    return params
+
+
+def build_method(cfg: Config, backbone: Optional[DualBackbone] = None,
+                 params=None):
+    cfg = cfg.validate()
+    if backbone is None:
+        backbone = DualBackbone(
+            rgb_backbone_name=cfg.rgb_backbone_name,
+            num_group=cfg.num_group, group_size=cfg.group_size,
+            compute_dtype=cfg.compute_dtype, use_pallas=cfg.use_pallas,
+            image_size=cfg.rgb_size)
+    if params is None:
+        params = load_backbone_params(cfg, backbone)
+    fusion, fusion_vars = build_fusion(cfg)
+    cls = _METHODS[cfg.method_name]
+    return cls(cfg, backbone, params, fusion=fusion, fusion_vars=fusion_vars)

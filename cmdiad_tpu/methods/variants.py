@@ -1,0 +1,284 @@
+"""The six anomaly-detection method variants.
+
+Mirrors feature_extractors/multiple_features.py (see SURVEY.md §2.2):
+
+  RGBMethod       RGBFeatures (:28)             DINO
+  DepthMethod     DepthFeatures (:124)          depth-map bank (Depth)
+  PointMethod     PointFeatures (:207)          Point_MAE
+  DoubleMethod    DoubleRGBPointFeatures (:800) DINO+Point_MAE + MTFI dumper
+  HallucinationMethod          RGBorXYZWithOneHallucination (:312)
+                               FtoF (use_hn/use_hn_conv) and ItoF (use_hrnet)
+  HallucinationFromFeatureMethod RGBorXYZWithOneHallucinationFromFeature (:576)
+                               FtoI: hallucinate the *raw input* of the
+                               missing modality and re-encode it
+
+Known reference bugs intentionally NOT replicated (SURVEY.md quirks):
+  Q2 — FtoI rgb-main double-scoring (multiple_features.py:722-741 appends
+       every prediction twice); we score once.
+  Q5 — use_uff calls a method that does not exist; rejected at config time.
+Quirk Q1 (cross-wired bank statistics) IS replicated (see methods.base).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from cmdiad_tpu.data.feature_store import FeatureStore
+from cmdiad_tpu.methods.base import MemoryBankMethod
+from cmdiad_tpu.ops.masked import nonzero_point_mask
+
+
+class RGBMethod(MemoryBankMethod):
+    bank_names = ("rgb",)
+
+    def add_sample_to_mem_bank(self, sample, class_name=None):
+        self.class_name = class_name
+        out = self.extract(sample)
+        self._append("rgb", out["rgb_patch"])
+
+    def run_coreset(self):
+        self._finalize_banks(norm_names=("rgb",), coreset_names=("rgb",))
+
+    def _scores(self, sample):
+        out = self.extract(sample)
+        s, s_map = self.score_patch(out["rgb_patch"], "rgb")
+        lam_s, lam_m = self.cfg.rgb_s_lambda, self.cfg.rgb_smap_lambda
+        return np.array([lam_s * float(s)]), np.asarray(s_map)[None] * lam_m
+
+    def add_sample_to_late_fusion_mem_bank(self, sample):
+        self._push_late_fusion(*self._scores(sample))
+
+    def predict(self, sample, mask, label, rgb_path):
+        s_vec, s_maps = self._scores(sample)
+        self._record_prediction(s_vec, s_maps, mask, label, rgb_path)
+
+
+class DepthMethod(RGBMethod):
+    """RGB pipeline over the 3-channel depth map (reference DepthFeatures)."""
+
+    def extract(self, sample, rgb_key="rgb", with_2828=False):
+        return super().extract(sample, rgb_key="depth3", with_2828=with_2828)
+
+
+class PointMethod(MemoryBankMethod):
+    bank_names = ("xyz",)
+
+    def add_sample_to_mem_bank(self, sample, class_name=None):
+        self.class_name = class_name
+        out = self.extract(sample)
+        self._append("xyz", out["xyz_patch"])
+
+    def run_coreset(self):
+        self._finalize_banks(norm_names=("xyz",), coreset_names=("xyz",))
+
+    def _scores(self, sample):
+        out = self.extract(sample)
+        s, s_map = self.score_patch(out["xyz_patch"], "xyz")
+        lam_s, lam_m = self.cfg.xyz_s_lambda, self.cfg.xyz_smap_lambda
+        return np.array([lam_s * float(s)]), np.asarray(s_map)[None] * lam_m
+
+    def add_sample_to_late_fusion_mem_bank(self, sample):
+        self._push_late_fusion(*self._scores(sample))
+
+    def predict(self, sample, mask, label, rgb_path):
+        s_vec, s_maps = self._scores(sample)
+        self._record_prediction(s_vec, s_maps, mask, label, rgb_path)
+
+
+class DoubleMethod(MemoryBankMethod):
+    """Dual rgb+xyz banks; also the MTFI feature dumper."""
+
+    bank_names = ("xyz", "rgb")
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        cfg = self.cfg
+        self._stores = {}
+        if cfg.save_feature_for_fusion and cfg.save_path:
+            self._stores["fusion"] = FeatureStore(cfg.save_path)
+        if cfg.save_frgb_xyz and cfg.save_path_frgb_xyz:
+            self._stores["frgb_xyz"] = FeatureStore(cfg.save_path_frgb_xyz)
+        if cfg.save_rgb_fxyz and cfg.save_path_rgb_fxyz:
+            self._stores["rgb_fxyz"] = FeatureStore(cfg.save_path_rgb_fxyz)
+        self._dump_ids = {"fusion": 0, "frgb_xyz": 0, "rgb_fxyz": 0}
+
+    def _maybe_dump(self, split, sample, out):
+        if not self._stores:
+            return
+        cls = self.class_name or "cls"
+        if "fusion" in self._stores:
+            i = self._dump_ids["fusion"]
+            patch = np.concatenate(
+                [np.asarray(out["xyz_patch"][0]),
+                 np.asarray(out["rgb_patch2"][0])], axis=1)
+            self._stores["fusion"].save(split, f"{cls}{i}", patch=patch)
+            self._dump_ids["fusion"] += 1
+        if "frgb_xyz" in self._stores:
+            i = self._dump_ids["frgb_xyz"]
+            self._stores["frgb_xyz"].save(
+                split, f"{cls}{i}", frgb=np.asarray(out["rgb_patch2"][0]),
+                xyz=np.asarray(sample["organized_pc"]))
+            self._dump_ids["frgb_xyz"] += 1
+        if "rgb_fxyz" in self._stores:
+            i = self._dump_ids["rgb_fxyz"]
+            self._stores["rgb_fxyz"].save(
+                split, f"{cls}{i}", hfxyz=np.asarray(out["xyz_patch"][0]),
+                lfxyz=np.asarray(out["xyz_patch_2828"][0]),
+                rgb=np.asarray(sample["rgb"]))
+            self._dump_ids["rgb_fxyz"] += 1
+
+    def add_sample_to_mem_bank(self, sample, class_name=None):
+        self.class_name = class_name
+        out = self.extract(sample, with_2828=bool(self._stores))
+        self._maybe_dump("train", sample, out)
+        self._append("xyz", out["xyz_patch"])
+        self._append("rgb", out["rgb_patch"])
+
+    def run_coreset(self):
+        # Q1: xyz_std/rgb_std from the rgb bank, rgb_mean from the xyz bank
+        # (multiple_features.py:877-880)
+        self._finalize_banks(
+            norm_names=("xyz", "rgb"), coreset_names=("xyz", "rgb"),
+            stats_pairs={"xyz": ("xyz", "rgb"), "rgb": ("xyz", "rgb")})
+
+    def _scores(self, sample, out=None):
+        out = out or self.extract(sample)
+        s_x, m_x = self.score_patch(out["xyz_patch"], "xyz")
+        s_r, m_r = self.score_patch(out["rgb_patch"], "rgb")
+        c = self.cfg
+        s_vec = np.array([c.xyz_s_lambda * float(s_x),
+                          c.rgb_s_lambda * float(s_r)])
+        s_maps = np.stack([c.xyz_smap_lambda * np.asarray(m_x),
+                           c.rgb_smap_lambda * np.asarray(m_r)])
+        return s_vec, s_maps
+
+    def add_sample_to_late_fusion_mem_bank(self, sample):
+        if self.cfg.use_depth:
+            sample = {**sample, "rgb": sample["depth3"]}
+        self._push_late_fusion(*self._scores(sample))
+
+    def predict(self, sample, mask, label, rgb_path):
+        if self.cfg.use_depth:
+            sample = {**sample, "rgb": sample["depth3"]}
+        out = self.extract(sample, with_2828=bool(self._stores))
+        self._maybe_dump("test", sample, out)
+        s_vec, s_maps = self._scores(sample, out)
+        self._record_prediction(s_vec, s_maps, mask, label, rgb_path)
+
+
+class HallucinationMethod(MemoryBankMethod):
+    """Main-modality bank + hallucinated-feature bank (FtoF / ItoF).
+
+    At inference only the main modality is consumed: main='rgb' reads only
+    the RGB image; main='xyz' reads only the organized pc (the reference's
+    MTFI promise). Bank-building uses both modalities.
+    """
+
+    bank_names = ("rgb", "xyz", "fusion")
+
+    def _hallucinate(self, sample, out):
+        """-> (1, N, 768) hallucinated features of the *other* modality."""
+        cfg = self.cfg
+        if cfg.use_hrnet:
+            img = sample["rgb"] if cfg.main_modality == "rgb" else sample["organized_pc"]
+            img = jnp.asarray(np.asarray(img)[None] if np.asarray(img).ndim == 3
+                              else np.asarray(img))
+            grid = self.fusion.apply(self.fusion_vars, img)     # (1,56,56,768)
+            return grid.reshape(grid.shape[0], -1, grid.shape[-1])
+        if cfg.use_hn or cfg.use_hn_conv:
+            if cfg.main_modality == "rgb":
+                feat, out_type = out["rgb_patch2"], "xyz"
+            else:
+                feat, out_type = out["xyz_patch"], "rgb"
+            return self.fusion.apply(self.fusion_vars, feat, out_type,
+                                     method="generate")
+        raise ValueError("no fusion flavour configured")
+
+    def _main_keys(self):
+        if self.cfg.main_modality == "rgb":
+            return "rgb", "rgb_patch", self.cfg.rgb_s_lambda, self.cfg.rgb_smap_lambda
+        return "xyz", "xyz_patch", self.cfg.xyz_s_lambda, self.cfg.xyz_smap_lambda
+
+    def add_sample_to_mem_bank(self, sample, class_name=None):
+        self.class_name = class_name
+        out = self.extract(sample)
+        hall = self._hallucinate(sample, out)
+        self._append("rgb", out["rgb_patch"])
+        self._append("xyz", out["xyz_patch"])
+        self._append("fusion", hall)
+
+    def run_coreset(self):
+        main = self.cfg.main_modality
+        # Q1 wiring (multiple_features.py:372-377): means from the xyz bank,
+        # stds from the rgb bank, for all three stat sets.
+        self._finalize_banks(
+            norm_names=(main, "fusion"), coreset_names=(main, "fusion"),
+            stats_pairs={"xyz": ("xyz", "rgb"), "rgb": ("xyz", "rgb"),
+                         "fusion": ("xyz", "rgb")})
+
+    def _inference_extract(self, sample):
+        """Extract using ONLY the main modality (true few-modal inference)."""
+        if self.cfg.main_modality == "rgb":
+            return self.extract({"rgb": sample["rgb"]})
+        return self.extract({"organized_pc": sample["organized_pc"]})
+
+    def _scores(self, sample):
+        out = self._inference_extract(sample)
+        hall = self._hallucinate(sample, out)
+        s_f, m_f = self.score_patch(hall, "fusion")
+        main, key, lam_s, lam_m = self._main_keys()
+        s_m, m_m = self.score_patch(out[key], main)
+        c = self.cfg
+        s_vec = np.array([lam_s * float(s_m), c.fusion_s_lambda * float(s_f)])
+        s_maps = np.stack([lam_m * np.asarray(m_m),
+                           c.fusion_smap_lambda * np.asarray(m_f)])
+        return s_vec, s_maps
+
+    def add_sample_to_late_fusion_mem_bank(self, sample):
+        self._push_late_fusion(*self._scores(sample))
+
+    def predict(self, sample, mask, label, rgb_path):
+        s_vec, s_maps = self._scores(sample)
+        self._record_prediction(s_vec, s_maps, mask, label, rgb_path)
+
+
+class HallucinationFromFeatureMethod(HallucinationMethod):
+    """FtoI: hallucinate the missing *raw input* and re-encode it through the
+    frozen backbone of the other modality (multiple_features.py:576-797) —
+    the only method where generated data re-enters a feature extractor."""
+
+    bank_names = ("rgb", "xyz", "fusion")
+
+    def _hallucinated_features(self, out):
+        cfg = self.cfg
+        if cfg.main_modality == "rgb":
+            # rgb features -> organized-pc image -> point backbone
+            pc_img = self.fusion.apply(self.fusion_vars, out["rgb_patch2"])
+            pc_out = self.extract({"organized_pc": np.asarray(pc_img)})
+            return pc_out["xyz_patch"]
+        # xyz features -> rgb image -> ViT
+        rgb_img = self.fusion.apply(self.fusion_vars, out["xyz_patch"])
+        rgb_out = self.extract({"rgb": np.asarray(rgb_img)})
+        return rgb_out["rgb_patch"]
+
+    def add_sample_to_mem_bank(self, sample, class_name=None):
+        self.class_name = class_name
+        out = self.extract(sample)
+        self._append("rgb", out["rgb_patch"])
+        self._append("xyz", out["xyz_patch"])
+        self._append("fusion", self._hallucinated_features(out))
+
+    def _scores(self, sample):
+        out = self._inference_extract(sample)
+        hall = self._hallucinated_features(out)
+        s_f, m_f = self.score_patch(hall, "fusion")
+        main, key, lam_s, lam_m = self._main_keys()
+        s_m, m_m = self.score_patch(out[key], main)
+        c = self.cfg
+        s_vec = np.array([lam_s * float(s_m), c.fusion_s_lambda * float(s_f)])
+        s_maps = np.stack([lam_m * np.asarray(m_m),
+                           c.fusion_smap_lambda * np.asarray(m_f)])
+        return s_vec, s_maps

@@ -41,11 +41,12 @@ class DualBackbone:
     def __init__(self, rgb_backbone_name: str = "vit_base_patch8_224_dino",
                  num_group: int = 1024, group_size: int = 128,
                  compute_dtype: str = "float32", use_pallas: bool = True,
-                 image_size: int = 224):
+                 image_size: int = 224, vit_config: Optional[ViTConfig] = None,
+                 pm_config: Optional[PointMAEConfig] = None):
         self.dtype = jnp.dtype(compute_dtype)
-        self.vit_config = VIT_CONFIGS[rgb_backbone_name]
-        self.pm_config = PointMAEConfig(num_group=num_group,
-                                        group_size=group_size)
+        self.vit_config = vit_config or VIT_CONFIGS[rgb_backbone_name]
+        self.pm_config = pm_config or PointMAEConfig(num_group=num_group,
+                                                     group_size=group_size)
         self.vit = VisionTransformer(self.vit_config, dtype=self.dtype)
         self.point = PointTransformer(self.pm_config, dtype=self.dtype)
         self.use_pallas = use_pallas

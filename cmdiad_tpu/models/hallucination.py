@@ -197,17 +197,18 @@ class FtoIMlp(nn.Module):
 
     in_dim: int = 768
     out_channels: int = 3   # 1 when estimate_depth
+    out_size: int = 224
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feature):
-        """(B, 3136, in_dim) -> (B, 224, 224, out_channels)."""
+        """(B, 3136, in_dim) -> (B, out_size, out_size, out_channels)."""
         x = nn.LayerNorm(name="norm", dtype=self.dtype)(feature)
         for i, h in enumerate((1152, 384, 96)):
             x = nn.Dense(h, name=f"mlp_{i}", dtype=self.dtype)(x)
             x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out_channels, name="mlp_3", dtype=self.dtype)(x)
-        return bicubic_resize(_grid(x), 224)
+        return bicubic_resize(_grid(x), self.out_size)
 
     def loss(self, feature, target):
         h = self(feature)
@@ -221,14 +222,15 @@ class FtoIConv(nn.Module):
 
     in_dim: int = 768
     out_channels: int = 3
+    out_size: int = 224
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feature):
-        """(B, 3136, in_dim) -> (B, 224, 224, out_channels)."""
+        """(B, 3136, in_dim) -> (B, out_size, out_size, out_channels)."""
         x = _grid(feature)
         x = nn.Conv(384, (3, 3), padding=1, name="conv1", dtype=self.dtype)(x)
-        x = bicubic_resize(x, 224)
+        x = bicubic_resize(x, self.out_size)
         x = nn.relu(nn.Conv(96, (3, 3), padding=1, name="conv2",
                             dtype=self.dtype)(x))
         x = nn.relu(nn.Conv(32, (3, 3), padding=1, name="conv3",

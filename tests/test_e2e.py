@@ -1,0 +1,104 @@
+"""End-to-end pipeline tests on a synthetic mini-dataset.
+
+Small backbones + the fabricated MVTec-3D-layout dataset exercise the whole
+stack: tiff decode, resize/mask semantics, bank building, coreset, OCSVM
+late fusion, prediction and all four metrics — for the plain, dual and MTFI
+methods (SURVEY.md §4 recommendation (d))."""
+
+import numpy as np
+import pytest
+
+from cmdiad_tpu.config import Config
+from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+from cmdiad_tpu.models.backbone import DualBackbone
+from cmdiad_tpu.models.vit import ViTConfig
+from cmdiad_tpu.models.point_mae import PointMAEConfig
+from cmdiad_tpu.runner import CMDIADRunner
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(str(root), size=SIZE, n_train=5,
+                                  n_test_good=2, n_test_bad=3)
+
+
+def _small_backbone():
+    return DualBackbone(
+        vit_config=ViTConfig(img_size=SIZE, patch_size=8, embed_dim=32,
+                             depth=2, num_heads=2),
+        pm_config=PointMAEConfig(num_group=32, group_size=16, encoder_dims=16,
+                                 trans_dim=16, depth=2, num_heads=2,
+                                 fetch_idx=(0, 1)),
+        use_pallas=False, image_size=SIZE)
+
+
+def _cfg(**kw):
+    base = dict(dataset_path="", class_name="widget", rgb_size=SIZE,
+                xyz_size=SIZE, gt_size=SIZE, f_coreset=0.5, max_sample=10)
+    base.update(kw)
+    return Config(**base)
+
+
+def _run(cfg, dataset_root):
+    cfg = cfg.replace(dataset_path=dataset_root)
+    bb = _small_backbone()
+    runner = CMDIADRunner(cfg, backbone=bb, params=bb.init_params(0))
+    runner.fit("widget")
+    return runner.evaluate("widget")
+
+
+@pytest.mark.parametrize("method", ["DINO", "Point_MAE", "DINO+Point_MAE"])
+def test_plain_methods_e2e(dataset_root, method):
+    metrics = _run(_cfg(method_name=method), dataset_root)
+    for k in ("image_rocauc", "pixel_rocauc", "au_pro", "au_pro_001"):
+        assert 0.0 <= metrics[k] <= 1.0, (k, metrics)
+    # synthetic dents are blatant depth anomalies: the pipeline must beat
+    # chance convincingly at the pixel level with random backbones already
+    if method != "DINO":
+        assert metrics["pixel_rocauc"] > 0.5, metrics
+
+
+def test_mtfi_ftof_e2e(dataset_root):
+    cfg = _cfg(method_name="WithHallucination", main_modality="xyz",
+               use_hn=True)
+    # FtoF MLP expects 768-dim features; small backbone is 32-dim -> the
+    # fusion net is built for the small dims via a custom fusion module.
+    from cmdiad_tpu.models.hallucination import FtoFMlp
+    import jax, jax.numpy as jnp
+    from cmdiad_tpu.methods import registry as reg
+    bb = _small_backbone()
+    cfg2 = cfg.replace(dataset_path=dataset_root)
+    net = FtoFMlp(32, 32)
+    fusion_vars = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32)),
+                           jnp.zeros((1, 4, 32)))
+    method = reg._METHODS["WithHallucination"](
+        cfg2, bb, bb.init_params(0), fusion=net, fusion_vars=fusion_vars)
+    runner = CMDIADRunner.__new__(CMDIADRunner)
+    runner.cfg = cfg2
+    runner.method = method
+    runner.timings = {}
+    runner.fit("widget")
+    metrics = runner.evaluate("widget")
+    for k in ("image_rocauc", "pixel_rocauc", "au_pro"):
+        assert 0.0 <= metrics[k] <= 1.0
+
+
+def test_feature_dumping(dataset_root, tmp_path):
+    cfg = _cfg(method_name="DINO+Point_MAE",
+               save_feature_for_fusion=True, save_path=str(tmp_path / "fus"),
+               save_frgb_xyz=True, save_path_frgb_xyz=str(tmp_path / "fx"),
+               save_rgb_fxyz=True, save_path_rgb_fxyz=str(tmp_path / "rf"))
+    _run(cfg, dataset_root)
+    from cmdiad_tpu.data.feature_store import FeatureStore
+    fus = FeatureStore(str(tmp_path / "fus"))
+    recs = list(fus.iter_split("train"))
+    assert len(recs) == 5
+    assert recs[0]["patch"].shape == (3136, 64)  # xyz 32 + rgb 32 dims
+    rf = FeatureStore(str(tmp_path / "rf"))
+    rec = next(rf.iter_split("test"))
+    assert rec["hfxyz"].shape == (3136, 32)
+    assert rec["lfxyz"].shape == (784, 32)
+    assert rec["rgb"].shape == (SIZE, SIZE, 3)

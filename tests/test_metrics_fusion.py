@@ -1,0 +1,88 @@
+"""Metrics vs sklearn; AU-PRO vs a direct protocol oracle; OCSVM backends."""
+
+import numpy as np
+import pytest
+
+from cmdiad_tpu.metrics import roc_auc_score, calculate_au_pro
+from cmdiad_tpu.metrics.au_pro import compute_pro
+from cmdiad_tpu.fusion import SGDOneClassSVM
+
+
+def test_roc_auc_matches_sklearn(rng):
+    from sklearn.metrics import roc_auc_score as skl
+    labels = (rng.uniform(size=500) > 0.7).astype(int)
+    scores = rng.normal(size=500) + labels * 0.5
+    assert abs(roc_auc_score(labels, scores) - skl(labels, scores)) < 1e-12
+    # with heavy ties
+    scores_q = np.round(scores, 1)
+    assert abs(roc_auc_score(labels, scores_q) - skl(labels, scores_q)) < 1e-12
+
+
+def _protocol_oracle_pro(maps, gts, num_thresholds=100):
+    """Direct (slow) implementation of the documented MVTec protocol."""
+    from scipy.ndimage import label
+    comps, ok = [], []
+    for gt, pred in zip(gts, maps):
+        lab, n = label(gt, np.ones((3, 3), int))
+        ok.append(pred[lab == 0])
+        for k in range(1, n + 1):
+            comps.append(np.sort(pred[lab == k]))
+    ok = np.sort(np.concatenate(ok))
+    fprs, pros = [1.0], [1.0]
+    for pos in np.linspace(0, ok.size - 1, num_thresholds, dtype=int):
+        th = ok[pos]
+        fpr = 1.0 - (pos + 1) / ok.size
+        pro = float(np.mean([np.mean(c > th) for c in comps]))
+        fprs.append(fpr)
+        pros.append(pro)
+    return fprs[::-1], pros[::-1]
+
+
+def test_pro_curve_matches_protocol_oracle(rng):
+    gts, preds = [], []
+    for _ in range(4):
+        gt = np.zeros((32, 32), int)
+        gt[4:10, 4:10] = 1
+        gt[20:25, 18:28] = 1
+        pred = rng.uniform(size=(32, 32))
+        pred[gt == 1] += rng.uniform(0, 1.0)
+        gts.append(gt)
+        preds.append(pred)
+    f1, p1 = compute_pro(preds, gts)
+    f2, p2 = _protocol_oracle_pro(preds, gts)
+    np.testing.assert_allclose(f1, f2, rtol=1e-12)
+    np.testing.assert_allclose(p1, p2, rtol=1e-12)
+
+    au, _ = calculate_au_pro(gts, preds, 0.3)
+    assert 0.0 <= au <= 1.0
+    au001, _ = calculate_au_pro(gts, preds, 0.01)
+    assert 0.0 <= au001 <= 1.0
+
+
+def test_au_pro_perfect_prediction():
+    gt = np.zeros((64, 64), int)
+    gt[10:20, 10:20] = 1
+    pred = gt.astype(float) + np.random.default_rng(0).uniform(
+        0, 1e-3, (64, 64))
+    au, _ = calculate_au_pro([gt], [pred], 0.3)
+    assert au > 0.97
+
+
+def test_ocsvm_sklearn_backend_parity(rng):
+    from sklearn.linear_model import SGDOneClassSVM as Skl
+    x = rng.normal(size=(200, 2)) + 3.0
+    ours = SGDOneClassSVM(nu=0.5, max_iter=1000, random_state=42,
+                          backend="sklearn").fit(x)
+    ref = Skl(nu=0.5, max_iter=1000, random_state=42).fit(x)
+    q = rng.normal(size=(50, 2)) + 3.0
+    np.testing.assert_allclose(ours.score_samples(q), ref.score_samples(q))
+
+
+def test_ocsvm_jax_backend_behaviour(rng):
+    # inliers around +3, outliers around -3: jax backend must rank inliers
+    # higher via score_samples (same convention as sklearn)
+    x = rng.normal(size=(300, 2)) * 0.3 + 3.0
+    model = SGDOneClassSVM(nu=0.5, max_iter=200, backend="jax").fit(x)
+    inl = model.score_samples(rng.normal(size=(50, 2)) * 0.3 + 3.0)
+    out = model.score_samples(rng.normal(size=(50, 2)) * 0.3 - 3.0)
+    assert np.median(inl) > np.median(out)
