@@ -163,7 +163,9 @@ class TrainConfig:
     batch_size: int = 64
     epochs: int = 100
     accum_iter: int = 1
-    weight_decay: float = 1.5e-6
+    # reference parses 1.5e-6 but never passes it to Adam (pretrain:261);
+    # 0.0 matches actual behaviour, set >0 to opt in
+    weight_decay: float = 0.0
     lr: Optional[float] = None
     blr: float = 0.002          # absolute_lr = blr * eff_batch / 256 (pretrain:233-234)
     min_lr: float = 0.0

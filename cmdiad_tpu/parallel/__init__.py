@@ -1,0 +1,1 @@
+from cmdiad_tpu.parallel.mesh import make_mesh, shard_batch, replicate  # noqa: F401

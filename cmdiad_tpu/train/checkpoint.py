@@ -20,13 +20,43 @@ import jax
 _SEP = "\x1f"  # unit separator — never appears in module names
 
 
+def _part(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return f"{p.idx:06d}"  # zero-pad so lexicographic == positional order
+    return str(p)
+
+
 def _flatten(tree) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
-        key = _SEP.join(
-            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[_SEP.join(_part(p) for p in path)] = np.asarray(leaf)
     return flat
+
+
+def load_flat(path: str, prefix: str = "") -> Dict[str, np.ndarray]:
+    """{path-key: array} for keys under ``prefix`` (lexicographic order ==
+    tree-traversal order thanks to zero-padded sequence indices)."""
+    out = {}
+    with np.load(path, allow_pickle=False) as z:
+        for key in sorted(z.files):
+            if key == "__meta__":
+                continue
+            if not prefix or key.startswith(prefix):
+                out[key] = z[key]
+    return out
+
+
+def restore_into(template, flat: Dict[str, np.ndarray]):
+    """Rebuild a pytree with ``template``'s structure from ordered leaves."""
+    leaves = [flat[k] for k in sorted(flat)]
+    treedef = jax.tree_util.tree_structure(template)
+    tmpl_leaves = jax.tree_util.tree_leaves(template)
+    assert len(leaves) == len(tmpl_leaves), (
+        f"checkpoint has {len(leaves)} leaves, template {len(tmpl_leaves)}")
+    cast = [np.asarray(l).reshape(np.shape(t)) for l, t in zip(leaves, tmpl_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, cast)
 
 
 def save_pytree(path: str, tree, meta: dict | None = None) -> None:
