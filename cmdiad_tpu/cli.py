@@ -1,0 +1,162 @@
+"""Command-line interface.
+
+Subcommands map to the reference's entry scripts:
+  detect               main.py (per-class fit/eval, markdown result tables)
+  train                hallucination_network_pretrain.py
+  preprocess           utils/preprocessing.py
+  preprocess-eyecandies utils/preprocessing_eyecandies.py
+  convert-ckpt         torch .pth -> framework .npz conversion
+
+Run as ``python -m cmdiad_tpu.cli <subcommand> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+from cmdiad_tpu.config import Config, TrainConfig, METHOD_NAMES, TRAIN_METHODS
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type) -> None:
+    for f in dataclasses.fields(dc_type):
+        name = "--" + f.name
+        default = f.default
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=default)
+        elif isinstance(default, (int, float, str)) or default is None:
+            typ = type(default) if default is not None else str
+            parser.add_argument(name, type=typ, default=default)
+        # tuple-typed fields (mesh_shape) are set programmatically
+
+
+def _config_from_args(args, dc_type):
+    kw = {f.name: getattr(args, f.name) for f in dataclasses.fields(dc_type)
+          if hasattr(args, f.name)}
+    return dc_type(**kw)
+
+
+def cmd_detect(args) -> None:
+    import pandas as pd
+    from cmdiad_tpu.data.mvtec3d import mvtec3d_classes, eyecandies_classes
+    from cmdiad_tpu.runner import CMDIADRunner
+
+    cfg = _config_from_args(args, Config).validate()
+    classes = ([cfg.class_name] if cfg.class_name else
+               (eyecandies_classes() if cfg.dataset_type == "eyecandies"
+                else mvtec3d_classes()))
+
+    tables = {k: {} for k in ("image_rocauc", "pixel_rocauc", "au_pro",
+                              "au_pro_001")}
+    for cls in classes:
+        runner = CMDIADRunner(cfg)
+        runner.fit(cls)
+        metrics = runner.evaluate(cls)
+        for k in tables:
+            tables[k][cls.title()] = round(metrics[k], 3)
+
+    frames = {}
+    for k, row in tables.items():
+        df = pd.DataFrame([{"Method": cfg.method_name, **row}])
+        df["Mean"] = round(df.iloc[:, 1:].mean(axis=1).iloc[0], 3)
+        frames[k] = df
+        print(f"\n===== {k} =====")
+        print(df.to_markdown(index=False))
+
+    if cfg.save_results:
+        os.makedirs(cfg.results_dir, exist_ok=True)
+        names = {"image_rocauc": "image_rocauc_results.md",
+                 "pixel_rocauc": "pixel_rocauc_results.md",
+                 "au_pro": "aupro_results.md",
+                 "au_pro_001": "aupro_001_results.md"}
+        for k, df in frames.items():
+            with open(os.path.join(cfg.results_dir, names[k]), "a") as f:
+                f.write("\n\n" + cfg.experiment_note + "\n")
+                f.write(df.to_markdown(index=False))
+
+
+def cmd_train(args) -> None:
+    from cmdiad_tpu.train.distill import DistillTrainer
+    cfg = _config_from_args(args, TrainConfig)
+    trainer = DistillTrainer(cfg)
+    result = trainer.train()
+    print(json.dumps({"final_train_loss": result.history["train_loss"][-1],
+                      "final_test_loss": result.history["test_loss"][-1]}))
+
+
+def cmd_preprocess(args) -> None:
+    from cmdiad_tpu.preprocess.mvtec import preprocess_dataset
+    n = preprocess_dataset(args.dataset_path, num_workers=args.num_process)
+    print(f"preprocessed {n} tiffs")
+
+
+def cmd_preprocess_eyecandies(args) -> None:
+    from cmdiad_tpu.preprocess.eyecandies import convert_dataset
+    convert_dataset(args.dataset_path, args.target_dir)
+
+
+def cmd_convert_ckpt(args) -> None:
+    from cmdiad_tpu.models import convert
+    from cmdiad_tpu.train.checkpoint import save_pytree
+    sd = convert.load_torch_checkpoint(args.src)
+    kind = args.kind
+    if kind == "vit":
+        tree = convert.vit_from_timm(sd)
+    elif kind == "point_mae":
+        tree = convert.point_mae_from_torch(convert.strip_pointmae_prefixes(sd))
+    elif kind == "ftof_mlp":
+        tree = convert.ftof_mlp_from_torch(sd)
+    elif kind == "ftof_conv":
+        tree = convert.ftof_conv_from_torch(sd)
+    elif kind == "ftoi_mlp":
+        tree = convert.ftoi_mlp_from_torch(sd)
+    elif kind == "ftoi_conv":
+        tree = convert.ftoi_conv_from_torch(sd)
+    elif kind == "hrnet":
+        tree = convert.hrnet_from_torch(sd)
+    else:
+        raise SystemExit(f"unknown kind {kind}")
+    save_pytree(args.dst, tree, meta={"kind": kind, "src": args.src})
+    print(f"converted {args.src} -> {args.dst}")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser("cmdiad_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("detect", help="memory-bank detection / evaluation")
+    _add_dataclass_args(p, Config)
+    p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("train", help="MTFI distillation training")
+    _add_dataclass_args(p, TrainConfig)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("preprocess", help="MVTec 3D-AD in-place preprocessing")
+    p.add_argument("--dataset_path", "-d", required=True)
+    p.add_argument("--num_process", "-n", type=int, default=6)
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("preprocess-eyecandies")
+    p.add_argument("--dataset_path", required=True)
+    p.add_argument("--target_dir", required=True)
+    p.set_defaults(fn=cmd_preprocess_eyecandies)
+
+    p = sub.add_parser("convert-ckpt", help="torch .pth -> .npz params")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--kind", required=True,
+                   choices=["vit", "point_mae", "ftof_mlp", "ftof_conv",
+                            "ftoi_mlp", "ftoi_conv", "hrnet"])
+    p.set_defaults(fn=cmd_convert_ckpt)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

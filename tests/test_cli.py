@@ -1,0 +1,52 @@
+"""CLI smoke tests (subprocess-free: call main() with argv)."""
+
+import json
+import numpy as np
+import pytest
+
+from cmdiad_tpu import cli
+
+
+def test_cli_help_lists_subcommands(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["--help"])
+    out = capsys.readouterr().out
+    for sub in ("detect", "train", "preprocess", "convert-ckpt"):
+        assert sub in out
+
+
+def test_cli_preprocess(tmp_path, rng, capsys):
+    from cmdiad_tpu.data import tiffio
+    from PIL import Image
+    d = tmp_path / "cls" / "train" / "good"
+    (d / "xyz").mkdir(parents=True)
+    (d / "rgb").mkdir(parents=True)
+    yy, xx = np.mgrid[0:60, 0:60] / 60.0
+    pc = np.stack([xx * .5, yy * .5, 0.1 + 0.01 * xx], -1).astype(np.float32)
+    pc[20:40, 20:40, 2] += 0.05
+    pc += rng.normal(0, 1e-4, pc.shape).astype(np.float32)
+    tiffio.imwrite(str(d / "xyz" / "0.tiff"), pc)
+    Image.fromarray(np.zeros((60, 60, 3), np.uint8)).save(d / "rgb" / "0.png")
+    cli.main(["preprocess", "-d", str(tmp_path), "-n", "1"])
+    assert "preprocessed 1 tiffs" in capsys.readouterr().out
+
+
+def test_cli_convert_ckpt(tmp_path, capsys):
+    torch = pytest.importorskip("torch")
+    sd = {
+        "xyz_norm.weight": torch.ones(8), "xyz_norm.bias": torch.zeros(8),
+        "rgb_norm.weight": torch.ones(8), "rgb_norm.bias": torch.zeros(8),
+    }
+    for side in ("xyz", "rgb"):
+        for fc, (i, o) in {"fc1": (8, 20), "fc2": (20, 20),
+                           "fc3": (20, 8)}.items():
+            sd[f"{side}_mlp.mlp_module.0.{fc}.weight"] = torch.randn(o, i)
+            sd[f"{side}_mlp.mlp_module.0.{fc}.bias"] = torch.randn(o)
+    src = tmp_path / "net.pth"
+    torch.save({"model": sd}, src)
+    dst = tmp_path / "net.npz"
+    cli.main(["convert-ckpt", "--src", str(src), "--dst", str(dst),
+              "--kind", "ftof_mlp"])
+    from cmdiad_tpu.train.checkpoint import load_pytree
+    tree = load_pytree(str(dst))
+    assert tree["params"]["xyz_mlp"]["block_0"]["fc1"]["kernel"].shape == (8, 20)
