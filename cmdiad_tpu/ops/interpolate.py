@@ -36,19 +36,26 @@ def three_nn_interpolate(points: jnp.ndarray, mask: jnp.ndarray,
       (B, P, D) interpolated features; zero rows where mask is False.
     """
     d = pairwise_sqdist(points.astype(jnp.float32), centers.astype(jnp.float32))
-    # 3 nearest centers per point (ascending distance).
-    neg_top, idx = lax.top_k(-d, 3)                      # (B, P, 3)
-    top = -neg_top
+    # 3 nearest centers per point by iterative min-extraction — exact, three
+    # cheap VPU passes instead of a per-row sort (lax.top_k at these shapes
+    # is slow on TPU), and the one-hot masks double as the sparse weight
+    # matrix below (no scatter).
+    B, P, G = d.shape
+    col = jnp.arange(G, dtype=jnp.int32)
+    dd = d
+    onehots, vals = [], []
+    for _ in range(3):
+        i = jnp.argmin(dd, axis=-1)                      # (B, P)
+        vals.append(jnp.min(dd, axis=-1))
+        oh = (col[None, None, :] == i[..., None]).astype(jnp.float32)
+        onehots.append(oh)
+        dd = dd + oh * jnp.float32(1e30)
+    top = jnp.stack(vals, axis=-1)                       # (B, P, 3)
     recip = 1.0 / (top + 1e-8)
     w = recip / jnp.sum(recip, axis=-1, keepdims=True)   # (B, P, 3)
 
     # Dense (P, G) weight matrix with 3 nonzeros per row -> one MXU matmul.
-    B, P, _ = points.shape
-    G = centers.shape[1]
-    wmat = jnp.zeros((B, P, G), jnp.float32)
-    rows = jnp.broadcast_to(jnp.arange(P)[None, :, None], idx.shape)
-    batch = jnp.broadcast_to(jnp.arange(B)[:, None, None], idx.shape)
-    wmat = wmat.at[batch, rows, idx].add(w)
+    wmat = sum(oh * w[..., k:k + 1] for k, oh in enumerate(onehots))
     out = jnp.einsum("bpg,bgd->bpd", wmat, feats.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
     return out * mask[..., None].astype(out.dtype)

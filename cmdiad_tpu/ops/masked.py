@@ -14,7 +14,13 @@ import jax.numpy as jnp
 
 # Large-but-finite sentinel distance for masked-out candidates.  Using a
 # finite value instead of +inf keeps min/top-k NaN-free on the VPU.
-BIG_DIST = jnp.float32(1e30)
+#
+# Deliberately a Python float, NOT a jnp scalar: a module-level device array
+# becomes a captured constant *buffer* in every jit that closes over it, and
+# on TPU that blocks XLA from constant-folding the select and fusing the
+# distance computation into approx_max_k's PartialReduce — measured 700x
+# slower (28 ms vs 0.04 ms) for the 1024x50176 KNN.
+BIG_DIST = 1e30
 
 
 def nonzero_point_mask(points: jnp.ndarray) -> jnp.ndarray:
