@@ -117,6 +117,14 @@ def imread(path: str) -> np.ndarray:
     """Read the first IFD of a TIFF file to (H, W[, C]) numpy array."""
     with open(path, "rb") as f:
         data = f.read()
+    # native fast path for the hot format (uncompressed LE float strips)
+    try:
+        from cmdiad_tpu import native
+        arr = native.tiff_decode(data)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass
     if data[:2] == b"II":
         en = "<"
     elif data[:2] == b"MM":
