@@ -146,6 +146,14 @@ def main(argv=None) -> None:
     p.add_argument("--target_dir", required=True)
     p.set_defaults(fn=cmd_preprocess_eyecandies)
 
+    p = sub.add_parser("heatmap", help="render saved segmentation maps")
+    p.add_argument("--seg_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=lambda a: print(__import__(
+        "cmdiad_tpu.utils.heatmap", fromlist=["render_run"]).render_run(
+            a.seg_dir, a.out_dir, a.limit), "heatmaps rendered"))
+
     p = sub.add_parser("convert-ckpt", help="torch .pth -> .npz params")
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)

@@ -185,6 +185,16 @@ class MemoryBankMethod:
         self.predictions.append(fused_map)
         self.gts.append(mask_np)
         self.img_paths.append(rgb_path)
+        if self.cfg.save_seg_results:
+            # per-image seg-map dump mirroring the dataset tree (reference
+            # multiple_features.py:1005-1015, .pt -> .npz)
+            import os
+            rel = os.path.splitext(os.path.basename(str(rgb_path)))[0]
+            out_dir = os.path.join(self.cfg.results_dir, "segmentation",
+                                   str(self.class_name))
+            os.makedirs(out_dir, exist_ok=True)
+            np.savez_compressed(os.path.join(out_dir, rel + ".npz"),
+                                s_map=fused_map, gt=mask_np)
 
     # ---------------- metrics ----------------------------------------------
     def calculate_metrics(self) -> dict:

@@ -283,6 +283,17 @@ class DistillTrainer:
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         log.info("resumed from %s at epoch %d", path, self.start_epoch)
 
+    def _log_metrics(self, record: dict):
+        """Append scalars to <output_dir>/metrics.jsonl (the framework's
+        TensorBoard-scalar replacement; plot with any tool)."""
+        if not self.cfg.output_dir:
+            return
+        import json
+        import os
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        with open(f"{self.cfg.output_dir}/metrics.jsonl", "a") as f:
+            f.write(json.dumps(record) + "\n")
+
     def _save(self, epoch: int):
         if not self.cfg.output_dir:
             return
@@ -324,6 +335,9 @@ class DistillTrainer:
                 history["test_loss"].append(test_loss)
                 log.info("epoch %d: train %.4f test %.4f (%.1fs)", epoch,
                          train_loss, test_loss, time.perf_counter() - t0)
+                self._log_metrics({"epoch": epoch, "train_loss": train_loss,
+                                   "test_loss": test_loss,
+                                   "epoch_s": time.perf_counter() - t0})
 
                 if (epoch + 1) % cfg.save_every == 0:
                     self._save(epoch)
