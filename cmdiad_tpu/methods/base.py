@@ -37,11 +37,12 @@ from cmdiad_tpu.ops.scoring import patchcore_score, pad_bank
 
 
 @functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
-                                             "n_reweight"))
-def _score_one(patch, bank, mean, std, feat_hw, out_size, metric, n_reweight):
+                                             "n_reweight", "chunk"))
+def _score_one(patch, bank, mean, std, feat_hw, out_size, metric, n_reweight,
+               chunk=8192):
     normed = (patch - mean) / std
     return patchcore_score(normed, bank, feat_hw, out_size=out_size,
-                           metric=metric, n_reweight=n_reweight)
+                           metric=metric, n_reweight=n_reweight, chunk=chunk)
 
 
 class MemoryBankMethod:
@@ -140,8 +141,24 @@ class MemoryBankMethod:
                     metric=self.cfg.dist_method_coreset,
                     compute_dtype=self.cfg.coreset_dtype)
                 bank = bank[np.asarray(idx)]
-            self.banks[n] = pad_bank(jnp.asarray(bank, jnp.float32))
+            self.banks[n] = self._place_bank(
+                pad_bank(jnp.asarray(bank, jnp.float32)))
         self._bank_acc = {n: [] for n in self.bank_names}
+
+    def _place_bank(self, bank: jnp.ndarray) -> jnp.ndarray:
+        """Optionally shard bank rows over the mesh (cfg.shard_bank)."""
+        if not self.cfg.shard_bank or len(jax.devices()) == 1:
+            return bank
+        from cmdiad_tpu.parallel.mesh import make_mesh, shard_rows
+        if not hasattr(self, "_mesh"):
+            self._mesh = make_mesh((len(jax.devices()),), ("data",))
+        n_dev = self._mesh.shape["data"]
+        pad = (-bank.shape[0]) % n_dev
+        if pad:
+            from cmdiad_tpu.ops.scoring import PAD_VALUE
+            bank = jnp.concatenate(
+                [bank, jnp.full((pad, bank.shape[1]), PAD_VALUE, bank.dtype)])
+        return shard_rows(self._mesh, bank)
 
     # ---------------- scoring ---------------------------------------------
     def score_patch(self, patch, bank_name: str):
@@ -150,10 +167,14 @@ class MemoryBankMethod:
         npatch = p.shape[0]
         side = int(np.sqrt(npatch))
         mean, std = self.stats[bank_name]
+        # sharded banks need the dense (single-pass) distance path so GSPMD
+        # keeps the matmul shard-local; chunk-scan otherwise
+        chunk = None if self.cfg.shard_bank and len(jax.devices()) > 1 else 8192
         s, s_map = _score_one(
             p, self.banks[bank_name], jnp.float32(mean), jnp.float32(std),
             feat_hw=(side, side), out_size=self.cfg.gt_size,
-            metric=self.cfg.dist_method_s, n_reweight=self.cfg.n_reweight)
+            metric=self.cfg.dist_method_s, n_reweight=self.cfg.n_reweight,
+            chunk=chunk)
         return s, s_map
 
     # ---------------- late fusion ------------------------------------------

@@ -66,16 +66,20 @@ def cdist(a: jnp.ndarray, b: jnp.ndarray, metric: str = "l2") -> jnp.ndarray:
 
 
 def bank_min_dist(patch: jnp.ndarray, bank: jnp.ndarray,
-                  metric: str = "l2", chunk: int = 8192):
+                  metric: str = "l2", chunk: int | None = 8192):
     """Per-patch (min distance, argmin index) over the bank, chunk-scanned.
 
     Args:
       patch: (Np, D); bank: (Nb, D) with Nb a multiple of ``chunk`` or smaller.
+      chunk: scan block size; None = dense single pass (required when the
+        bank rows are sharded across a mesh — the scan's reshape would
+        force a resharding gather, while the dense form lets GSPMD keep the
+        distance matmul and min/argmin shard-local with one all-reduce).
     Returns:
       min_val (Np,), min_idx (Np,) int32.
     """
     nb = bank.shape[0]
-    if nb <= chunk:
+    if chunk is None or nb <= chunk:
         d = cdist(patch, bank, metric)
         return jnp.min(d, axis=1), jnp.argmin(d, axis=1).astype(jnp.int32)
 
@@ -101,7 +105,8 @@ def bank_min_dist(patch: jnp.ndarray, bank: jnp.ndarray,
 
 def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
                     feat_hw, out_size: int = 224, metric: str = "l2",
-                    n_reweight: int = 3, blur_radius: float = 4.0):
+                    n_reweight: int = 3, blur_radius: float = 4.0,
+                    chunk: int | None = 8192):
     """Image score + segmentation map for one sample against one bank.
 
     Mirrors ``Features.compute_single_s_s_map`` (features.py:225-297):
@@ -120,7 +125,7 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
     Returns:
       s (scalar), s_map (out_size, out_size).
     """
-    min_val, min_idx = bank_min_dist(patch, bank, metric)
+    min_val, min_idx = bank_min_dist(patch, bank, metric, chunk)
     s_idx = jnp.argmax(min_val)
     s_star = min_val[s_idx]
 

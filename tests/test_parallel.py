@@ -54,3 +54,56 @@ def test_mesh_helpers(rng, mesh):
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_coreset_matches_dense(rng, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cmdiad_tpu.ops.coreset import greedy_kcenter
+    z = rng.normal(size=(4000, 32)).astype(np.float32)
+    ref = np.asarray(greedy_kcenter(jnp.asarray(z), 100, compute_dtype="FP32"))
+    zs = jax.device_put(z, NamedSharding(mesh, P("data", None)))
+    with mesh:
+        got = np.asarray(greedy_kcenter(zs, 100, compute_dtype="FP32"))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_e2e_sharded_bank_scoring(rng, tmp_path_factory):
+    """Full Point_MAE method with shard_bank=True matches replicated banks."""
+    from cmdiad_tpu.config import Config
+    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+    from cmdiad_tpu.data.mvtec3d import MVTec3DDataset
+    from cmdiad_tpu.models.backbone import DualBackbone
+    from cmdiad_tpu.models.vit import ViTConfig
+    from cmdiad_tpu.models.point_mae import PointMAEConfig
+    from cmdiad_tpu.methods.registry import _METHODS
+
+    root = make_synthetic_dataset(
+        str(tmp_path_factory.mktemp("synth_shard")), size=64, n_train=4)
+    bb = DualBackbone(
+        vit_config=ViTConfig(img_size=64, patch_size=8, embed_dim=16,
+                             depth=1, num_heads=2),
+        pm_config=PointMAEConfig(num_group=16, group_size=8, encoder_dims=8,
+                                 trans_dim=8, depth=1, num_heads=2,
+                                 fetch_idx=(0,)),
+        use_pallas=False, image_size=64)
+    params = bb.init_params(0)
+
+    def run(shard):
+        cfg = Config(method_name="Point_MAE", dataset_path=root, rgb_size=64,
+                     xyz_size=64, gt_size=64, f_coreset=0.5, max_sample=10,
+                     shard_bank=shard)
+        m = _METHODS["Point_MAE"](cfg, bb, params)
+        ds = MVTec3DDataset(root, "widget", "train", 64, 64, 64)
+        for s in ds:
+            m.add_sample_to_mem_bank(s, "widget")
+        m.run_coreset()
+        tds = MVTec3DDataset(root, "widget", "test", 64, 64, 64)
+        s0 = tds.load(0)
+        out = m.extract(s0)
+        return m.score_patch(out["xyz_patch"], "xyz")
+
+    s_rep, m_rep = run(False)
+    s_sh, m_sh = run(True)
+    np.testing.assert_allclose(float(s_rep), float(s_sh), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_rep), np.asarray(m_sh),
+                               rtol=1e-3, atol=1e-4)
