@@ -62,8 +62,10 @@ def main():
     @jax.jit
     def chain(params, rgb, pc, rgb_bank, xyz_bank):
         def body(_, carry):
-            return infer_once(params, rgb + carry * 0.0, pc, rgb_bank,
-                              xyz_bank)
+            # perturb BOTH modality inputs so neither branch is
+            # loop-invariant (XLA would hoist it out of the timing loop)
+            return infer_once(params, rgb + carry * 0.0,
+                              pc + carry * 0.0, rgb_bank, xyz_bank)
         return lax.fori_loop(0, k_chain, body, jnp.float32(0.0))
 
     float(chain(params, rgb, pc, rgb_bank, xyz_bank))  # compile + warm

@@ -52,27 +52,22 @@ def _fps_single_jnp(points: jnp.ndarray, mask: jnp.ndarray, num_samples: int):
     return idxs.astype(jnp.int32)
 
 
-def _fps_pallas_kernel(num_samples, pts_ref, start_ref, mind_in_ref,
+def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, start_ref, mind_in_ref,
                        idx_ref, mind_scratch):
-    """pts (3, P) f32 in VMEM — coords on sublanes, points on lanes."""
-    P = pts_ref.shape[1]
-    pts = pts_ref[:, :]
-    lane_p = lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    """pts (3, P) f32 in VMEM (coords on sublanes, points on lanes) plus a
+    sublane-aligned (P, 8) row copy for O(1) dynamic coordinate fetch of the
+    selected point — one distance pass + one argmax per iteration."""
     lane_g = lax.broadcasted_iota(jnp.int32, (1, num_samples), 1)
     mind_scratch[0, :] = mind_in_ref[0, :]
     idx_ref[0, :] = jnp.zeros((num_samples,), jnp.int32)
 
-    def select_coord(row, idx):
-        onehot = (lane_p[0] == idx).astype(jnp.float32)
-        return jnp.sum(pts[row] * onehot)
-
     def body(i, last_idx):
         # record the point selected at step i (one-hot vector write)
         idx_ref[0, :] = jnp.where(lane_g[0] == i, last_idx, idx_ref[0, :])
-        lx = select_coord(0, last_idx)
-        ly = select_coord(1, last_idx)
-        lz = select_coord(2, last_idx)
-        d = (pts[0] - lx) ** 2 + (pts[1] - ly) ** 2 + (pts[2] - lz) ** 2
+        row = rows_ref[pl.ds(last_idx, 1), :]                 # (1, 8)
+        d = ((pts_ref[0, :] - row[0, 0]) ** 2
+             + (pts_ref[1, :] - row[0, 1]) ** 2
+             + (pts_ref[2, :] - row[0, 2]) ** 2)
         prev = mind_scratch[0, :]
         new = jnp.where(prev >= 0.0, jnp.minimum(prev, d), prev)
         mind_scratch[0, :] = new
@@ -84,6 +79,7 @@ def _fps_pallas_kernel(num_samples, pts_ref, start_ref, mind_in_ref,
 def _fps_single_pallas(points: jnp.ndarray, mask: jnp.ndarray, num_samples: int):
     P = points.shape[0]
     pts_t = points.astype(jnp.float32).T                          # (3, P)
+    rows = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, 5)))  # (P, 8)
     start = first_valid_index(mask).astype(jnp.int32)[None]       # (1,)
     init_min = jnp.where(mask, jnp.float32(1e10), jnp.float32(-1.0))[None, :]
 
@@ -92,13 +88,14 @@ def _fps_single_pallas(points: jnp.ndarray, mask: jnp.ndarray, num_samples: int)
         out_shape=jax.ShapeDtypeStruct((1, num_samples), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pts (3, P)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # rows (P, 8)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # start (1,)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # init min-dist (1, P)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
-    )(pts_t, start, init_min)
+    )(pts_t, rows, start, init_min)
     return idxs[0]
 
 

@@ -56,7 +56,9 @@ def masked_knn(points: jnp.ndarray, mask: jnp.ndarray,
     d = pairwise_sqdist(centers.astype(jnp.float32), points.astype(jnp.float32))
     d = jnp.where(mask[:, None, :], d, BIG_DIST)
     if method == "approx":
-        _, idx = lax.approx_max_k(-d, k, recall_target=0.99,
+        # recall 0.95 requested => ~0.977 measured at these shapes; higher
+        # targets inflate the aggregation pass cost ~7x (29 ms vs 4 ms)
+        _, idx = lax.approx_max_k(-d, k, recall_target=0.95,
                                   aggregate_to_topk=True)
     else:
         _, idx = lax.top_k(-d, k)
