@@ -45,6 +45,18 @@ def _score_one(patch, bank, mean, std, feat_hw, out_size, metric, n_reweight,
                            metric=metric, n_reweight=n_reweight, chunk=chunk)
 
 
+@functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
+                                             "n_reweight", "chunk"))
+def _score_batch(patches, bank, mean, std, feat_hw, out_size, metric,
+                 n_reweight, chunk=8192):
+    """vmapped per-sample scoring: (B, Np, D) -> ((B,), (B, out, out))."""
+    def one(p):
+        return patchcore_score((p - mean) / std, bank, feat_hw,
+                               out_size=out_size, metric=metric,
+                               n_reweight=n_reweight, chunk=chunk)
+    return jax.vmap(one)(patches)
+
+
 class MemoryBankMethod:
     """Base: bank accumulation, coreset, scoring, late fusion, metrics."""
 
@@ -161,21 +173,32 @@ class MemoryBankMethod:
         return shard_rows(self._mesh, bank)
 
     # ---------------- scoring ---------------------------------------------
+    def _chunk(self):
+        # sharded banks need the dense (single-pass) distance path so GSPMD
+        # keeps the matmul shard-local; chunk-scan otherwise
+        return None if self.cfg.shard_bank and len(jax.devices()) > 1 else 8192
+
     def score_patch(self, patch, bank_name: str):
         """patch (1, Np, D) or (Np, D) -> (s scalar, s_map (gt, gt) np)."""
         p = patch[0] if patch.ndim == 3 else patch
-        npatch = p.shape[0]
-        side = int(np.sqrt(npatch))
+        side = int(np.sqrt(p.shape[0]))
         mean, std = self.stats[bank_name]
-        # sharded banks need the dense (single-pass) distance path so GSPMD
-        # keeps the matmul shard-local; chunk-scan otherwise
-        chunk = None if self.cfg.shard_bank and len(jax.devices()) > 1 else 8192
         s, s_map = _score_one(
             p, self.banks[bank_name], jnp.float32(mean), jnp.float32(std),
             feat_hw=(side, side), out_size=self.cfg.gt_size,
             metric=self.cfg.dist_method_s, n_reweight=self.cfg.n_reweight,
-            chunk=chunk)
+            chunk=self._chunk())
         return s, s_map
+
+    def score_patch_batch(self, patches, bank_name: str):
+        """patches (B, Np, D) -> (s (B,), s_map (B, gt, gt)) in one dispatch."""
+        side = int(np.sqrt(patches.shape[1]))
+        mean, std = self.stats[bank_name]
+        return _score_batch(
+            patches, self.banks[bank_name], jnp.float32(mean),
+            jnp.float32(std), feat_hw=(side, side),
+            out_size=self.cfg.gt_size, metric=self.cfg.dist_method_s,
+            n_reweight=self.cfg.n_reweight, chunk=self._chunk())
 
     # ---------------- late fusion ------------------------------------------
     def _push_late_fusion(self, s_vec: np.ndarray, s_maps: np.ndarray):
@@ -233,6 +256,29 @@ class MemoryBankMethod:
             "au_pro": self.au_pro,
             "au_pro_001": self.au_pro_001,
         }
+
+    # ---------------- batched entry points ----------------------------------
+    # Generic fallbacks loop per sample; RGB/Point/Double override with true
+    # single-dispatch batched paths (methods/variants.BatchedScoresMixin).
+    @staticmethod
+    def _split_batch(batch: dict):
+        n = batch.get("_n", len(batch["rgb"]))
+        for i in range(n):
+            yield {k: (v[i] if isinstance(v, (np.ndarray, list)) else v)
+                   for k, v in batch.items() if k != "_n"}
+
+    def add_batch_to_mem_bank(self, batch: dict, class_name: str = None):
+        for sample in self._split_batch(batch):
+            self.add_sample_to_mem_bank(sample, class_name=class_name)
+
+    def add_batch_to_late_fusion_mem_bank(self, batch: dict):
+        for sample in self._split_batch(batch):
+            self.add_sample_to_late_fusion_mem_bank(sample)
+
+    def predict_batch(self, batch: dict):
+        for sample in self._split_batch(batch):
+            self.predict(sample, sample["gt"], sample["label"],
+                         sample["rgb_path"])
 
     # ---------------- abstract protocol -------------------------------------
     def add_sample_to_mem_bank(self, sample: dict, class_name: str = None):

@@ -31,8 +31,58 @@ from cmdiad_tpu.methods.base import MemoryBankMethod
 from cmdiad_tpu.ops.masked import nonzero_point_mask
 
 
-class RGBMethod(MemoryBankMethod):
+class BatchedScoresMixin:
+    """Single-dispatch batched bank/score paths for the plain methods.
+
+    ``_batch_modalities`` lists (bank_name, feature_key, s_lambda,
+    smap_lambda) per modality; feature extraction and scoring then run once
+    per batch instead of once per sample (big win behind the remote tunnel,
+    whose per-dispatch RPC dwarfs device time).  Tail padding from
+    loader.stack_batches is sliced away with the batch's ``_n``.
+    """
+
+    def _batch_modalities(self):
+        raise NotImplementedError
+
+    def _batch_extract(self, batch):
+        return self.extract(batch)
+
+    def add_batch_to_mem_bank(self, batch, class_name=None):
+        self.class_name = class_name
+        n = batch["_n"]
+        out = self._batch_extract(batch)
+        for bank_name, key, _, _ in self._batch_modalities():
+            feats = np.asarray(out[key][:n])
+            self._bank_acc[bank_name].append(
+                feats.reshape(-1, feats.shape[-1]))
+
+    def _scores_batch(self, batch):
+        out = self._batch_extract(batch)
+        s_cols, m_cols = [], []
+        for bank_name, key, lam_s, lam_m in self._batch_modalities():
+            s, m = self.score_patch_batch(out[key], bank_name)
+            s_cols.append(lam_s * np.asarray(s))
+            m_cols.append(lam_m * np.asarray(m))
+        return np.stack(s_cols, axis=1), np.stack(m_cols, axis=1)
+
+    def add_batch_to_late_fusion_mem_bank(self, batch):
+        s_vec, maps = self._scores_batch(batch)
+        for i in range(batch["_n"]):
+            self._push_late_fusion(s_vec[i], maps[i])
+
+    def predict_batch(self, batch):
+        s_vec, maps = self._scores_batch(batch)
+        for i in range(batch["_n"]):
+            self._record_prediction(s_vec[i], maps[i], batch["gt"][i],
+                                    batch["label"][i], batch["rgb_path"][i])
+
+
+class RGBMethod(BatchedScoresMixin, MemoryBankMethod):
     bank_names = ("rgb",)
+
+    def _batch_modalities(self):
+        c = self.cfg
+        return [("rgb", "rgb_patch", c.rgb_s_lambda, c.rgb_smap_lambda)]
 
     def add_sample_to_mem_bank(self, sample, class_name=None):
         self.class_name = class_name
@@ -63,8 +113,12 @@ class DepthMethod(RGBMethod):
         return super().extract(sample, rgb_key="depth3", with_2828=with_2828)
 
 
-class PointMethod(MemoryBankMethod):
+class PointMethod(BatchedScoresMixin, MemoryBankMethod):
     bank_names = ("xyz",)
+
+    def _batch_modalities(self):
+        c = self.cfg
+        return [("xyz", "xyz_patch", c.xyz_s_lambda, c.xyz_smap_lambda)]
 
     def add_sample_to_mem_bank(self, sample, class_name=None):
         self.class_name = class_name
@@ -88,10 +142,32 @@ class PointMethod(MemoryBankMethod):
         self._record_prediction(s_vec, s_maps, mask, label, rgb_path)
 
 
-class DoubleMethod(MemoryBankMethod):
+class DoubleMethod(BatchedScoresMixin, MemoryBankMethod):
     """Dual rgb+xyz banks; also the MTFI feature dumper."""
 
     bank_names = ("xyz", "rgb")
+
+    def _batch_modalities(self):
+        c = self.cfg
+        return [("xyz", "xyz_patch", c.xyz_s_lambda, c.xyz_smap_lambda),
+                ("rgb", "rgb_patch", c.rgb_s_lambda, c.rgb_smap_lambda)]
+
+    def _batch_extract(self, batch):
+        if self.cfg.use_depth:
+            batch = {**batch, "rgb": batch["depth3"]}
+        return self.extract(batch, with_2828=bool(self._stores))
+
+    def add_batch_to_mem_bank(self, batch, class_name=None):
+        if self._stores:  # per-sample dumping needs the per-sample path
+            MemoryBankMethod.add_batch_to_mem_bank(self, batch, class_name)
+            return
+        BatchedScoresMixin.add_batch_to_mem_bank(self, batch, class_name)
+
+    def predict_batch(self, batch):
+        if self._stores:
+            MemoryBankMethod.predict_batch(self, batch)
+            return
+        BatchedScoresMixin.predict_batch(self, batch)
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)

@@ -52,14 +52,22 @@ def _fps_single_jnp(points: jnp.ndarray, mask: jnp.ndarray, num_samples: int):
     return idxs.astype(jnp.int32)
 
 
-def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, start_ref, mind_in_ref,
+def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, mind_in_ref,
                        idx_ref, mind_scratch):
     """pts (3, P) f32 in VMEM (coords on sublanes, points on lanes) plus a
     sublane-aligned (P, 8) row copy for O(1) dynamic coordinate fetch of the
-    selected point — one distance pass + one argmax per iteration."""
+    selected point — one distance pass + one argmax per iteration.
+
+    The seed (first valid point in scan order, pointnet2 semantics) is
+    derived in-kernel from the init min-dist vector (invalid lanes are -1),
+    keeping all inputs VMEM so the call is trivially vmappable.
+    """
     lane_g = lax.broadcasted_iota(jnp.int32, (1, num_samples), 1)
-    mind_scratch[0, :] = mind_in_ref[0, :]
+    mind0 = mind_in_ref[0, :]
+    mind_scratch[0, :] = mind0
     idx_ref[0, :] = jnp.zeros((num_samples,), jnp.int32)
+    # (Pallas argmax only lowers for f32 operands)
+    start = jnp.argmax((mind0 >= 0.0).astype(jnp.float32)).astype(jnp.int32)
 
     def body(i, last_idx):
         # record the point selected at step i (one-hot vector write)
@@ -73,14 +81,13 @@ def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, start_ref, mind_in_ref,
         mind_scratch[0, :] = new
         return jnp.argmax(new).astype(jnp.int32)
 
-    lax.fori_loop(0, num_samples, body, start_ref[0])
+    lax.fori_loop(0, num_samples, body, start)
 
 
 def _fps_single_pallas(points: jnp.ndarray, mask: jnp.ndarray, num_samples: int):
     P = points.shape[0]
     pts_t = points.astype(jnp.float32).T                          # (3, P)
     rows = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, 5)))  # (P, 8)
-    start = first_valid_index(mask).astype(jnp.int32)[None]       # (1,)
     init_min = jnp.where(mask, jnp.float32(1e10), jnp.float32(-1.0))[None, :]
 
     idxs = pl.pallas_call(
@@ -89,13 +96,12 @@ def _fps_single_pallas(points: jnp.ndarray, mask: jnp.ndarray, num_samples: int)
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pts (3, P)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # rows (P, 8)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # start (1,)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # init min-dist (1, P)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
-    )(pts_t, rows, start, init_min)
+    )(pts_t, rows, init_min)
     return idxs[0]
 
 

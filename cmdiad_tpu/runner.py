@@ -15,7 +15,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from cmdiad_tpu.config import Config
-from cmdiad_tpu.data.loader import iter_samples
+from cmdiad_tpu.data.loader import iter_samples, stack_batches
 from cmdiad_tpu.data.mvtec3d import MVTec3DDataset
 from cmdiad_tpu.methods import build_method
 from cmdiad_tpu.utils.logging import get_logger
@@ -39,11 +39,13 @@ class CMDIADRunner:
         split = ("train_validation" if self.cfg.train_with_validation
                  else "train")
         ds = self._dataset(split, class_name)
+        bs = max(self.cfg.batch_size, 1)
         t0 = time.perf_counter()
         n = 0
-        for sample in iter_samples(ds, max_samples=self.cfg.max_sample):
-            self.method.add_sample_to_mem_bank(sample, class_name=class_name)
-            n += 1
+        for batch in stack_batches(
+                iter_samples(ds, max_samples=self.cfg.max_sample), bs):
+            self.method.add_batch_to_mem_bank(batch, class_name=class_name)
+            n += batch["_n"]
         self.timings["bank_pass_s"] = time.perf_counter() - t0
         log.info("class %s: %d samples banked in %.1fs", class_name, n,
                  self.timings["bank_pass_s"])
@@ -53,19 +55,20 @@ class CMDIADRunner:
         self.timings["coreset_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        for sample in iter_samples(ds, max_samples=self.cfg.max_sample):
-            self.method.add_sample_to_late_fusion_mem_bank(sample)
+        for batch in stack_batches(
+                iter_samples(ds, max_samples=self.cfg.max_sample), bs):
+            self.method.add_batch_to_late_fusion_mem_bank(batch)
         self.method.run_late_fusion()
         self.timings["late_fusion_s"] = time.perf_counter() - t0
 
     def evaluate(self, class_name: str) -> Dict[str, float]:
         ds = self._dataset("test", class_name)
+        bs = max(self.cfg.batch_size, 1)
         t0 = time.perf_counter()
         n = 0
-        for sample in iter_samples(ds):
-            self.method.predict(sample, sample["gt"], sample["label"],
-                                sample["rgb_path"])
-            n += 1
+        for batch in stack_batches(iter_samples(ds), bs):
+            self.method.predict_batch(batch)
+            n += batch["_n"]
         self.timings["eval_s"] = time.perf_counter() - t0
         self.timings["eval_images_per_s"] = n / max(self.timings["eval_s"], 1e-9)
         metrics = self.method.calculate_metrics()

@@ -102,3 +102,16 @@ def test_feature_dumping(dataset_root, tmp_path):
     assert rec["hfxyz"].shape == (3136, 32)
     assert rec["lfxyz"].shape == (784, 32)
     assert rec["rgb"].shape == (SIZE, SIZE, 3)
+
+
+def test_batched_eval_matches_batch1(dataset_root):
+    """batch_size=3 must match batch_size=1 metrics.
+
+    vmap changes matmul tiling so distances differ in the last ulp; on the
+    tiny 5-image test set a single rank swap at the pixel level moves AUROC
+    by ~1/(n_pos*n_neg) — tolerate a small absolute delta.
+    """
+    m1 = _run(_cfg(method_name="DINO+Point_MAE", batch_size=1), dataset_root)
+    m3 = _run(_cfg(method_name="DINO+Point_MAE", batch_size=3), dataset_root)
+    for k in m1:
+        assert abs(m1[k] - m3[k]) < 5e-3, (k, m1, m3)
