@@ -61,13 +61,13 @@ def _read_ifd(data: bytes, off: int, en: str) -> Tuple[Dict[int, tuple], int]:
 
 
 def _lzw_decode(data: bytes) -> bytes:
-    """TIFF-flavour LZW (MSB-first, early-change)."""
+    """TIFF-flavour LZW (MSB-first; 'early change': the code width grows one
+    entry before the table actually fills, i.e. at table size 2^bits - 1)."""
     out = bytearray()
     table = [bytes([i]) for i in range(256)] + [b"", b""]
     bitpos = 0
     prev = None
     bits = 9
-    max_code = (1 << bits) - 1
     n = len(data) * 8
     while bitpos + bits <= n:
         byte = bitpos // 8
@@ -77,7 +77,6 @@ def _lzw_decode(data: bytes) -> bytes:
         if code == 256:  # clear
             table = table[:258]
             bits = 9
-            max_code = (1 << bits) - 1
             prev = None
             continue
         if code == 257:  # EOI
@@ -92,9 +91,8 @@ def _lzw_decode(data: bytes) -> bytes:
             table.append(entry)
         out += entry
         prev = entry
-        if len(table) >= max_code - 1 and bits < 12:  # early change
+        if len(table) == (1 << bits) - 1 and bits < 12:  # early change
             bits += 1
-            max_code = (1 << bits) - 1
     return bytes(out)
 
 

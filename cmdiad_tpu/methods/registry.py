@@ -86,11 +86,18 @@ def build_method(cfg: Config, backbone: Optional[DualBackbone] = None,
                  params=None):
     cfg = cfg.validate()
     if backbone is None:
+        pm_config = None
+        if cfg.xyz_backbone_name == "tiny":
+            from cmdiad_tpu.models.point_mae import PointMAEConfig
+            pm_config = PointMAEConfig(
+                num_group=cfg.num_group, group_size=cfg.group_size,
+                encoder_dims=16, trans_dim=16, depth=2, num_heads=2,
+                fetch_idx=(0, 1))
         backbone = DualBackbone(
             rgb_backbone_name=cfg.rgb_backbone_name,
             num_group=cfg.num_group, group_size=cfg.group_size,
             compute_dtype=cfg.compute_dtype, use_pallas=cfg.use_pallas,
-            image_size=cfg.rgb_size)
+            image_size=cfg.rgb_size, pm_config=pm_config)
     if params is None:
         params = load_backbone_params(cfg, backbone)
     fusion, fusion_vars = build_fusion(cfg)

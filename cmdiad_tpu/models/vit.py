@@ -50,6 +50,8 @@ VIT_CONFIGS = {
     "vit_base_patch8_224": ViTConfig(),
     "vit_base_patch8_224_in21k": ViTConfig(),
     "vit_small_patch8_224_dino": ViTConfig(embed_dim=384, num_heads=6),
+    # tiny config for smoke tests / CLI e2e without real weights
+    "tiny": ViTConfig(img_size=64, embed_dim=32, depth=2, num_heads=2),
 }
 
 

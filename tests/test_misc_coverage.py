@@ -1,0 +1,130 @@
+"""Coverage for eyecandies conversion, tiff codecs, Q1 flag, bf16, CLI e2e."""
+
+import json
+import numpy as np
+import pytest
+
+from cmdiad_tpu.data import tiffio
+
+
+def test_tiff_lzw_packbits_decode(rng, tmp_path):
+    """Decode LZW / PackBits / deflate strips (written via PIL for interop)."""
+    from PIL import Image
+    arr = rng.integers(0, 255, (31, 43, 3)).astype(np.uint8)
+    for comp in ("tiff_lzw", "packbits", "tiff_adobe_deflate"):
+        p = str(tmp_path / f"{comp}.tiff")
+        Image.fromarray(arr).save(p, compression=comp)
+        out = tiffio.imread(p)
+        np.testing.assert_array_equal(out, arr, err_msg=comp)
+
+
+def test_eyecandies_conversion(rng, tmp_path):
+    """Synthetic Eyecandies layout -> MVTec layout round trip."""
+    import yaml
+    from PIL import Image
+    from cmdiad_tpu.preprocess.eyecandies import convert_dataset
+
+    src = tmp_path / "eye"
+    size = 512
+    for split in ("train", "test_public"):
+        d = src / "CandyCane" / split / "data"
+        d.mkdir(parents=True)
+        n = 2
+        for i in range(n):
+            stem = str(i).zfill(3) if split == "train" else str(i).zfill(2)
+            depth = (rng.uniform(0.3, 0.9, (size, size)) * 65535).astype(np.uint16)
+            Image.fromarray(depth, mode="I;16").save(d / f"{stem}_depth.png")
+            with open(d / f"{stem}_info_depth.yaml", "w") as f:
+                yaml.safe_dump({"normalization": {"min": 0.5, "max": 1.5}}, f)
+            np.savetxt(d / f"{stem}_pose.txt", np.eye(4))
+            Image.fromarray(rng.integers(0, 255, (size, size, 3)).astype(
+                np.uint8)).save(d / f"{stem}_image_4.png")
+            mask = np.zeros((size, size, 3), np.uint8)
+            if split == "test_public" and i == 1:
+                mask[100:150, 100:150] = 255
+            Image.fromarray(mask).save(d / f"{stem}_mask.png")
+            # pad the dir to the reference's 17-files-per-sample layout
+            for j in range(12):
+                (d / f"{stem}_pad{j}.txt").write_text("x")
+
+    dst = tmp_path / "out"
+    convert_dataset(str(src), str(dst))
+    tiffs = sorted((dst / "CandyCane").rglob("*.tiff"))
+    assert len(tiffs) == 4  # 2 train + 2 test
+    pc = tiffio.imread(str(tiffs[0]))
+    assert pc.shape == (size, size, 3) and pc.dtype == np.float32
+    assert (dst / "CandyCane" / "test" / "bad" / "gt").exists()
+
+
+def test_fix_cross_stats_flag(rng):
+    """Q1: cross-wired stats by default; fix_cross_stats=True un-wires them."""
+    from cmdiad_tpu.config import Config
+    from cmdiad_tpu.methods.variants import DoubleMethod
+
+    class _BB:  # extraction never called in this test
+        pass
+
+    cfg = Config(method_name="DINO+Point_MAE", f_coreset=1.0)
+    xyz = rng.normal(size=(100, 8)).astype(np.float32) * 3 + 1
+    rgb = rng.normal(size=(100, 8)).astype(np.float32) * 0.5 - 2
+
+    def build(fix):
+        m = DoubleMethod(cfg, _BB(), None, fix_cross_stats=fix)
+        m._bank_acc["xyz"].append(xyz)
+        m._bank_acc["rgb"].append(rgb)
+        m.run_coreset()
+        return m.stats
+
+    quirky = build(False)
+    assert abs(quirky["xyz"][0] - xyz.mean()) < 1e-4       # mean from xyz
+    assert abs(quirky["xyz"][1] - rgb.std(ddof=1)) < 1e-4  # std from rgb (Q1!)
+    assert abs(quirky["rgb"][0] - xyz.mean()) < 1e-4       # mean from xyz (Q1!)
+
+    fixed = build(True)
+    assert abs(fixed["xyz"][1] - xyz.std(ddof=1)) < 1e-4
+    assert abs(fixed["rgb"][0] - rgb.mean()) < 1e-4
+
+
+def test_bf16_backbone_close_to_f32(rng):
+    """compute_dtype=bfloat16 must track f32 features within bf16 tolerance."""
+    import jax.numpy as jnp
+    from cmdiad_tpu.models.backbone import DualBackbone
+    from cmdiad_tpu.models.vit import ViTConfig
+    from cmdiad_tpu.models.point_mae import PointMAEConfig
+
+    def bb(dtype):
+        return DualBackbone(
+            vit_config=ViTConfig(img_size=32, patch_size=8, embed_dim=16,
+                                 depth=2, num_heads=2),
+            pm_config=PointMAEConfig(num_group=8, group_size=4,
+                                     encoder_dims=8, trans_dim=8, depth=2,
+                                     num_heads=2, fetch_idx=(0, 1)),
+            use_pallas=False, image_size=32, compute_dtype=dtype)
+
+    b32, b16 = bb("float32"), bb("bfloat16")
+    params = b32.init_params(0)
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    r32, _ = b32.rgb_patches(params, img)
+    r16, _ = b16.rgb_patches(params, img)
+    err = np.abs(np.asarray(r32) - np.asarray(r16))
+    scale = np.abs(np.asarray(r32)).mean() + 1e-6
+    assert err.mean() / scale < 0.05, err.mean() / scale
+
+
+def test_cli_detect_e2e_tiny(tmp_path, rng, capsys, monkeypatch):
+    """Full `detect` CLI on the synthetic dataset with the tiny backbones."""
+    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+    from cmdiad_tpu import cli
+    root = make_synthetic_dataset(str(tmp_path / "ds"), size=64, n_train=3,
+                                  n_test_good=1, n_test_bad=2)
+    monkeypatch.chdir(tmp_path)
+    cli.main(["detect", "--method_name", "Point_MAE",
+              "--rgb_backbone_name", "tiny", "--xyz_backbone_name", "tiny",
+              "--dataset_path", root, "--class_name", "widget",
+              "--rgb_size", "64", "--xyz_size", "64", "--gt_size", "64",
+              "--num_group", "32", "--group_size", "16",
+              "--f_coreset", "0.5", "--use_pallas", "false",
+              "--results_dir", str(tmp_path / "res")])
+    out = capsys.readouterr().out
+    assert "image_rocauc" in out and "Widget" in out
+    assert (tmp_path / "res" / "aupro_results.md").exists()
