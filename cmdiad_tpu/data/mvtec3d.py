@@ -90,11 +90,16 @@ class MVTec3DDataset:
     """Path index over one class/split (reference Train/Test/TrainValidation)."""
 
     def __init__(self, root: str, class_name: str, split: str,
-                 rgb_size: int = 224, xyz_size: int = 224, gt_size: int = 224):
+                 rgb_size: int = 224, xyz_size: int = 224, gt_size: int = 224,
+                 point_capacity: int = 32768):
         self.root = Path(root)
         self.class_name = class_name
         self.split = split
         self.rgb_size, self.xyz_size, self.gt_size = rgb_size, xyz_size, gt_size
+        # host-precompact valid points in the loader threads (see
+        # ops.masked.host_compact_points); 0 disables
+        self.point_capacity = (point_capacity
+                               if point_capacity < xyz_size * xyz_size else 0)
         self.records = self._index()
 
     def _pairs(self, split_dir: Path, defect: str):
@@ -136,14 +141,19 @@ class MVTec3DDataset:
     def load(self, i: int) -> dict:
         rec = self.records[i]
         pc_raw = np.asarray(tiffio.imread(rec.tiff_path), np.float32)
+        organized_pc = np.ascontiguousarray(
+            nearest_resize_np(pc_raw, self.xyz_size))
         sample = {
             "rgb": load_rgb(rec.rgb_path, self.rgb_size),
-            "organized_pc": np.ascontiguousarray(
-                nearest_resize_np(pc_raw, self.xyz_size)),
+            "organized_pc": organized_pc,
             "depth3": load_depth3(pc_raw, self.rgb_size),
             "label": rec.label,
             "rgb_path": rec.rgb_path,
         }
+        if self.point_capacity:
+            from cmdiad_tpu.ops.masked import host_compact_points
+            sample["points_compact"] = host_compact_points(
+                organized_pc, self.point_capacity)
         if self.split == "test":
             sample["gt"] = load_gt(rec.gt_path, self.gt_size)
         return sample

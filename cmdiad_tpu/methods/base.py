@@ -101,10 +101,12 @@ class MemoryBankMethod:
     # ---------------- feature helpers ------------------------------------
     def _device_batch(self, sample: dict) -> dict:
         out = {}
-        for k in ("rgb", "organized_pc", "depth3"):
+        for k, batched_ndim in (("rgb", 4), ("organized_pc", 4),
+                                ("depth3", 4), ("points_compact", 3)):
             if k in sample:
                 v = np.asarray(sample[k])
-                out[k] = jnp.asarray(v[None] if v.ndim == 3 else v)
+                out[k] = jnp.asarray(v[None] if v.ndim == batched_ndim - 1
+                                     else v)
         return out
 
     def extract(self, sample: dict, rgb_key: str = "rgb",
@@ -112,7 +114,8 @@ class MemoryBankMethod:
         dev = self._device_batch(sample)
         return self.backbone.extract(
             self.params, images=dev.get(rgb_key),
-            organized_pc=dev.get("organized_pc"), with_2828=with_2828)
+            organized_pc=dev.get("organized_pc"), with_2828=with_2828,
+            compact_pts=dev.get("points_compact"))
 
     # ---------------- bank building ---------------------------------------
     def _append(self, name: str, patch) -> None:
@@ -244,6 +247,16 @@ class MemoryBankMethod:
     def calculate_metrics(self) -> dict:
         image_preds = np.asarray(self.image_preds)
         image_labels = np.asarray(self.image_labels)
+        if self.cfg.save_raw_results:
+            # per-image raw score CSV (reference features.py:316-318)
+            import os
+            out_dir = os.path.join(self.cfg.results_dir, "raw")
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(
+                    out_dir, f"{self.class_name}_raw_results.csv"), "w") as f:
+                for s, lab, path in zip(image_preds, image_labels,
+                                        self.img_paths):
+                    f.write(f"{s},{lab},{path}\n")
         pixel_preds = np.concatenate(self.pixel_preds)
         pixel_labels = np.concatenate(self.pixel_labels)
         self.image_rocauc = roc_auc_score(image_labels, image_preds)

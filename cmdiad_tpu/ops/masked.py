@@ -47,6 +47,46 @@ def first_valid_index(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(mask, axis=-1)
 
 
+def compact_points(points: jnp.ndarray, mask: jnp.ndarray, capacity: int):
+    """Scatter valid points into a dense prefix of a fixed-size buffer.
+
+    Scan order is preserved, so FPS/KNN over the compacted set are *exactly*
+    equivalent to the masked originals (same point set, same seed, same
+    selection sequence) while the sequential kernels touch ``capacity``
+    lanes instead of H*W.  Valid points beyond ``capacity`` are dropped
+    (callers size capacity above the dataset's max valid count; MVTec 3D-AD
+    plane-removed clouds run ~15-30k valid of 50176).
+
+    Args:
+      points: (B, P, 3); mask: (B, P).
+    Returns:
+      (B, capacity, 3) with zero padding (zeros are invalid by construction).
+    """
+    b, p, _ = points.shape
+    pos = jnp.cumsum(mask, axis=1) - 1                       # (B, P)
+    # invalid or overflow rows land in the sacrificial slot `capacity`
+    pos = jnp.where(mask & (pos < capacity), pos, capacity).astype(jnp.int32)
+    out = jnp.zeros((b, capacity + 1, 3), jnp.float32)
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, p))
+    out = out.at[batch_idx, pos].set(points.astype(jnp.float32))
+    return out[:, :capacity]
+
+
+def host_compact_points(organized_pc, capacity: int):
+    """numpy compaction for the loader threads: (H, W, 3) -> (capacity, 3).
+
+    Device-side compaction (scatter or searchsorted-gather) costs 4-7 ms on
+    TPU — data-dependent movement is hostile there — while this numpy filter
+    is ~0.5 ms and overlaps with device compute via the prefetch loader.
+    """
+    import numpy as np
+    flat = np.asarray(organized_pc, np.float32).reshape(-1, 3)
+    valid = flat[np.all(flat != 0.0, axis=1)][:capacity]
+    out = np.zeros((capacity, 3), np.float32)
+    out[: len(valid)] = valid
+    return out
+
+
 def masked_mean_std(x: jnp.ndarray, mask: jnp.ndarray):
     """Scalar mean/std over rows where mask is True (Bessel-corrected like torch.std)."""
     mask_f = mask.astype(x.dtype)

@@ -22,6 +22,7 @@ def _small_backbone():
     bb.point = PointTransformer(bb.pm_config)
     bb.use_pallas = False
     bb.image_size = 32
+    bb.point_capacity = None
     return bb
 
 

@@ -107,3 +107,39 @@ def test_three_nn_interpolate_matches_numpy(rng):
     # top-3 choice between near-equidistant centers, moving near-zero weights
     np.testing.assert_allclose(out, oracle, rtol=1e-3, atol=1e-4)
     assert np.abs(out[~mask]).max() == 0.0
+
+
+def test_compact_points_preserves_fps_knn(rng):
+    """Compaction must leave FPS selections and KNN sets exactly unchanged."""
+    import jax.numpy as jnp
+    from cmdiad_tpu.ops.masked import compact_points
+    pts, _ = _make_masked_points(rng, p=512, n_valid=300)
+    batch = jnp.asarray(pts[None])
+    m = masked.nonzero_point_mask(batch)
+    comp = compact_points(batch, m, 384)
+    mc = masked.nonzero_point_mask(comp)
+    assert int(mc.sum()) == int(m.sum())
+    # order-preserving: the compacted prefix equals the filtered originals
+    np.testing.assert_array_equal(np.asarray(comp[0])[: int(m.sum())],
+                                  pts[np.asarray(m[0])])
+
+    c1, _ = fps.farthest_point_sample(batch, m, 32, use_pallas=False)
+    c2, _ = fps.farthest_point_sample(comp, mc, 32, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    k1 = knn.masked_knn(batch, m, c1, 5, method="exact")
+    k2 = knn.masked_knn(comp, mc, c2, 5, method="exact")
+    g1 = np.asarray(batch[0])[np.asarray(k1[0])]
+    g2 = np.asarray(comp[0])[np.asarray(k2[0])]
+    np.testing.assert_allclose(g1, g2, rtol=1e-6)
+
+
+def test_compact_points_overflow_drops(rng):
+    import jax.numpy as jnp
+    from cmdiad_tpu.ops.masked import compact_points
+    pts, _ = _make_masked_points(rng, p=256, n_valid=200)
+    batch = jnp.asarray(pts[None])
+    m = masked.nonzero_point_mask(batch)
+    comp = compact_points(batch, m, 128)  # capacity < n_valid
+    mc = masked.nonzero_point_mask(comp)
+    assert int(mc.sum()) == 128           # first 128 in scan order kept
