@@ -74,8 +74,11 @@ def load_backbone_params(cfg: Config, backbone: DualBackbone):
         params["vit"] = jax.tree.map(
             jnp.asarray, convert.vit_from_timm(sd, depth=backbone.vit_config.depth))
     if cfg.xyz_ckpt_path:
-        sd = convert.strip_pointmae_prefixes(
-            convert.load_torch_checkpoint(cfg.xyz_ckpt_path))
+        sd = convert.load_torch_checkpoint(cfg.xyz_ckpt_path)
+        if cfg.xyz_backbone_name == "Point_Bert":
+            sd = convert.strip_pointbert_prefixes(sd)
+        else:
+            sd = convert.strip_pointmae_prefixes(sd)
         params["point"] = jax.tree.map(
             jnp.asarray,
             convert.point_mae_from_torch(sd, depth=backbone.pm_config.depth))
@@ -93,6 +96,12 @@ def build_method(cfg: Config, backbone: Optional[DualBackbone] = None,
                 num_group=cfg.num_group, group_size=cfg.group_size,
                 encoder_dims=16, trans_dim=16, depth=2, num_heads=2,
                 fetch_idx=(0, 1))
+        elif cfg.xyz_backbone_name == "Point_Bert":
+            # reference models/models.py:31-33: encoder_dims=256 flavour
+            from cmdiad_tpu.models.point_mae import PointMAEConfig
+            pm_config = PointMAEConfig(
+                num_group=cfg.num_group, group_size=cfg.group_size,
+                encoder_dims=256)
         backbone = DualBackbone(
             rgb_backbone_name=cfg.rgb_backbone_name,
             num_group=cfg.num_group, group_size=cfg.group_size,

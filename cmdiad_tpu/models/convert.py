@@ -75,16 +75,22 @@ def _bn_stats(sd: StateDict, name: str) -> Dict[str, Array]:
 # ---------------------------------------------------------------------------
 
 def vit_from_timm(sd: StateDict, depth: int = 12) -> dict:
-    """timm ViT state dict -> VisionTransformer variables."""
+    """timm ViT state dict -> VisionTransformer variables.
+
+    Handles DINO ViT-B/8-style plain blocks and DINOv2 extras (LayerScale
+    ``ls{1,2}.gamma``, register tokens).
+    """
     params = {
         "patch_embed": _conv2d(sd, "patch_embed.proj"),
         "cls_token": sd["cls_token"],
         "pos_embed": sd["pos_embed"],
         "norm": _ln(sd, "norm"),
     }
+    if "reg_token" in sd:
+        params["reg_token"] = sd["reg_token"]
     for i in range(depth):
         t = f"blocks.{i}"
-        params[f"blocks_{i}"] = {
+        block = {
             "norm1": _ln(sd, f"{t}.norm1"),
             "attn": {
                 "qkv": _dense(sd, f"{t}.attn.qkv"),
@@ -96,6 +102,10 @@ def vit_from_timm(sd: StateDict, depth: int = 12) -> dict:
                 "fc2": _dense(sd, f"{t}.mlp.fc2"),
             },
         }
+        if f"{t}.ls1.gamma" in sd:
+            block["ls1"] = sd[f"{t}.ls1.gamma"]
+            block["ls2"] = sd[f"{t}.ls2.gamma"]
+        params[f"blocks_{i}"] = block
     return {"params": params}
 
 
@@ -116,8 +126,24 @@ def strip_pointmae_prefixes(sd: StateDict) -> Dict[str, Array]:
     return out
 
 
+def strip_pointbert_prefixes(sd: StateDict) -> Dict[str, Array]:
+    """Point-BERT key remap (models/models.py:299-309): keep transformer_q.*
+    (except its cls_head) and base_model.* entries, prefixes stripped."""
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("module.", "")
+        if k.startswith("transformer_q") and not k.startswith(
+                "transformer_q.cls_head"):
+            out[k[len("transformer_q."):]] = v
+        elif k.startswith("base_model."):
+            out[k[len("base_model."):]] = v
+    return out
+
+
 def point_mae_from_torch(sd: StateDict, depth: int = 12) -> dict:
-    """Point-MAE state dict (already prefix-stripped) -> PointTransformer vars."""
+    """Point-MAE/Point-BERT state dict (prefix-stripped) -> PointTransformer
+    variables.  Point-BERT checkpoints additionally carry cls_token/cls_pos
+    and the reduce_dim projection (models/models.py:261-264)."""
     params = {
         "encoder": {
             "first_conv_0": _conv1d_as_dense(sd, "encoder.first_conv.0"),
@@ -131,6 +157,11 @@ def point_mae_from_torch(sd: StateDict, depth: int = 12) -> dict:
         "pos_embed_2": _dense(sd, "pos_embed.2"),
         "norm": _ln(sd, "norm"),
     }
+    if "cls_token" in sd:
+        params["cls_token"] = sd["cls_token"]
+        params["cls_pos"] = sd["cls_pos"]
+    if "reduce_dim.weight" in sd:
+        params["reduce_dim"] = _dense(sd, "reduce_dim")
     stats = {
         "encoder": {
             "first_conv_1": _bn_stats(sd, "encoder.first_conv.1"),

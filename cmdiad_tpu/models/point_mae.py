@@ -173,14 +173,30 @@ class PointTransformer(nn.Module):
     def __call__(self, points, centers, idx):
         cfg = self.config
         tokens = GroupEncoder(cfg.encoder_dims, dtype=self.dtype,
-                              name="encoder")(points, centers, idx)  # (B,G,384)
+                              name="encoder")(points, centers, idx)  # (B,G,E)
 
         pos = nn.Dense(128, name="pos_embed_0", dtype=self.dtype)(
             centers.astype(self.dtype))
         pos = nn.gelu(pos, approximate=False)
         pos = nn.Dense(cfg.trans_dim, name="pos_embed_2", dtype=self.dtype)(pos)
 
+        # Point-BERT flavour (encoder_dims != trans_dim): project tokens and
+        # prepend a learned cls token/pos (reference models/models.py:261-264,
+        # 326-351); Point_MAE takes the plain else-branch (:352-373).
+        with_cls = cfg.encoder_dims != cfg.trans_dim
         x = tokens
+        if with_cls:
+            x = nn.Dense(cfg.trans_dim, name="reduce_dim", dtype=self.dtype)(x)
+            b = x.shape[0]
+            cls_tok = self.param("cls_token", nn.initializers.zeros,
+                                 (1, 1, cfg.trans_dim))
+            cls_pos = self.param("cls_pos", nn.initializers.normal(1.0),
+                                 (1, 1, cfg.trans_dim))
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls_tok, (b, 1, cfg.trans_dim)).astype(self.dtype), x], axis=1)
+            pos = jnp.concatenate(
+                [jnp.broadcast_to(cls_pos, (b, 1, cfg.trans_dim)).astype(self.dtype), pos], axis=1)
+
         fetched = []
         for i in range(cfg.depth):
             x = PointBlock(cfg.trans_dim, cfg.num_heads, cfg.mlp_ratio,
@@ -189,5 +205,8 @@ class PointTransformer(nn.Module):
             if i in cfg.fetch_idx:
                 fetched.append(x)
         norm = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm", dtype=self.dtype)
-        fetched = [norm(f) for f in fetched]
+        if with_cls:
+            fetched = [norm(f)[:, 1:] for f in fetched]   # drop cls (:348)
+        else:
+            fetched = [norm(f) for f in fetched]
         return jnp.concatenate(fetched, axis=-1)                 # (B,G,768)

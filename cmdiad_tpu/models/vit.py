@@ -34,6 +34,10 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     ln_eps: float = 1e-6
+    # DINOv2-style LayerScale (per-block learned residual scaling)
+    layer_scale: bool = False
+    # extra learned register/storage tokens prepended after cls (DINOv2 reg4)
+    num_reg_tokens: int = 0
 
     @property
     def grid(self) -> int:
@@ -50,6 +54,9 @@ VIT_CONFIGS = {
     "vit_base_patch8_224": ViTConfig(),
     "vit_base_patch8_224_in21k": ViTConfig(),
     "vit_small_patch8_224_dino": ViTConfig(embed_dim=384, num_heads=6),
+    # DINOv2 ViT-B/14 at 518² -> 37x37 patch grid (models/models.py:36-39)
+    "vit_base_patch14_dinov2.lvd142m": ViTConfig(
+        img_size=518, patch_size=14, layer_scale=True),
     # tiny config for smoke tests / CLI e2e without real weights
     "tiny": ViTConfig(img_size=64, embed_dim=32, depth=2, num_heads=2),
 }
@@ -96,16 +103,24 @@ class Block(nn.Module):
     mlp_ratio: float
     qkv_bias: bool
     ln_eps: float
+    layer_scale: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        def scale(name, h):
+            if not self.layer_scale:
+                return h
+            gamma = self.param(name, nn.initializers.constant(1e-5),
+                               (self.dim,))
+            return h * gamma.astype(self.dtype)
+
         y = nn.LayerNorm(epsilon=self.ln_eps, name="norm1", dtype=self.dtype)(x)
-        x = x + Attention(self.dim, self.num_heads, self.qkv_bias,
-                          dtype=self.dtype, name="attn")(y)
+        x = x + scale("ls1", Attention(self.dim, self.num_heads, self.qkv_bias,
+                                       dtype=self.dtype, name="attn")(y))
         y = nn.LayerNorm(epsilon=self.ln_eps, name="norm2", dtype=self.dtype)(x)
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                    dtype=self.dtype, name="mlp")(y)
+        x = x + scale("ls2", Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                                 dtype=self.dtype, name="mlp")(y))
         return x
 
 
@@ -131,11 +146,20 @@ class VisionTransformer(nn.Module):
                          (1, cfg.num_patches + 1, cfg.embed_dim))
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(self.dtype), x], axis=1)
         x = x + pos.astype(self.dtype)
+        n_prefix = 1
+        if cfg.num_reg_tokens:
+            reg = self.param("reg_token", nn.initializers.zeros,
+                             (1, cfg.num_reg_tokens, cfg.embed_dim))
+            x = jnp.concatenate(
+                [x[:, :1],
+                 jnp.broadcast_to(reg, (b,) + reg.shape[1:]).astype(self.dtype),
+                 x[:, 1:]], axis=1)
+            n_prefix += cfg.num_reg_tokens
 
         for i in range(cfg.depth):
             x = Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
-                      cfg.qkv_bias, cfg.ln_eps, dtype=self.dtype,
-                      name=f"blocks_{i}")(x)
+                      cfg.qkv_bias, cfg.ln_eps, layer_scale=cfg.layer_scale,
+                      dtype=self.dtype, name=f"blocks_{i}")(x)
         x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm", dtype=self.dtype)(x)
-        patches = x[:, 1:]  # drop cls (models/models.py:52)
+        patches = x[:, n_prefix:]  # drop cls/registers (models/models.py:39,52)
         return patches.reshape(b, cfg.grid, cfg.grid, cfg.embed_dim)

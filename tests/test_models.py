@@ -240,3 +240,95 @@ def test_point_mae_converted_shapes_match_init():
     flat_c = {jax.tree_util.keystr(p): v.shape
               for p, v in jax.tree_util.tree_leaves_with_path(converted)}
     assert flat_i == flat_c
+
+
+def test_point_bert_flavor_forward_matches_oracle(rng):
+    """encoder_dims != trans_dim -> cls-token branch (models.py:326-351)."""
+    cfg = pm_mod.PointMAEConfig(num_group=6, group_size=4, encoder_dims=5,
+                                trans_dim=8, depth=4, num_heads=2,
+                                fetch_idx=(1, 3))
+    sd = _rand_sd_pointmae(rng, cfg)
+    # encoder second conv emits encoder_dims=5; add pb-specific params
+    sd["encoder.second_conv.3.weight"] = rng.normal(
+        size=(5, 512, 1)).astype(np.float32) * 0.1
+    sd["encoder.second_conv.3.bias"] = rng.normal(size=(5,)).astype(np.float32) * 0.1
+    sd["cls_token"] = rng.normal(size=(1, 1, 8)).astype(np.float32) * 0.1
+    sd["cls_pos"] = rng.normal(size=(1, 1, 8)).astype(np.float32) * 0.1
+    sd["reduce_dim.weight"] = rng.normal(size=(8, 5)).astype(np.float32) * 0.1
+    sd["reduce_dim.bias"] = rng.normal(size=(8,)).astype(np.float32) * 0.1
+
+    variables = convert.point_mae_from_torch(sd, depth=cfg.depth)
+    model = pm_mod.PointTransformer(cfg)
+    neigh = rng.normal(size=(2, cfg.num_group, cfg.group_size, 3)).astype(np.float32)
+    centers = rng.normal(size=(2, cfg.num_group, 3)).astype(np.float32)
+    points = (neigh + centers[:, :, None, :]).reshape(2, -1, 3)
+    idx = np.broadcast_to(
+        np.arange(cfg.num_group * cfg.group_size, dtype=np.int32).reshape(
+            1, cfg.num_group, cfg.group_size), (2, cfg.num_group, cfg.group_size))
+    out = np.asarray(model.apply(variables, jnp.asarray(points),
+                                 jnp.asarray(centers), jnp.asarray(idx)))
+
+    # oracle: encoder -> reduce_dim -> cls prepend -> blocks(x+pos) -> fetch
+    def bn_eval(x, name):
+        return ((x - sd[f"{name}.running_mean"]) /
+                np.sqrt(sd[f"{name}.running_var"] + 1e-5)
+                * sd[f"{name}.weight"] + sd[f"{name}.bias"])
+
+    def c1d(x, name):
+        return x @ sd[f"{name}.weight"][:, :, 0].T + sd[f"{name}.bias"]
+
+    bg = neigh.reshape(-1, cfg.group_size, 3)
+    f = np.maximum(bn_eval(c1d(bg, "encoder.first_conv.0"),
+                           "encoder.first_conv.1"), 0)
+    f = c1d(f, "encoder.first_conv.3")
+    gmax = f.max(1, keepdims=True)
+    f = np.concatenate([np.broadcast_to(gmax, f.shape), f], -1)
+    f = np.maximum(bn_eval(c1d(f, "encoder.second_conv.0"),
+                           "encoder.second_conv.1"), 0)
+    f = c1d(f, "encoder.second_conv.3").max(1)
+    tokens = f.reshape(2, cfg.num_group, cfg.encoder_dims)
+    tokens = np_linear(tokens, sd["reduce_dim.weight"], sd["reduce_dim.bias"])
+    cls = np.broadcast_to(sd["cls_token"], (2, 1, cfg.trans_dim))
+    x = np.concatenate([cls, tokens], 1)
+
+    pos = np_gelu(np_linear(centers, sd["pos_embed.0.weight"],
+                            sd["pos_embed.0.bias"]))
+    pos = np_linear(pos, sd["pos_embed.2.weight"], sd["pos_embed.2.bias"])
+    pos = np.concatenate(
+        [np.broadcast_to(sd["cls_pos"], (2, 1, cfg.trans_dim)), pos], 1)
+
+    fetched = []
+    for i in range(cfg.depth):
+        x = np_block(x, sd, f"blocks.blocks.{i}", cfg.num_heads, cfg.ln_eps,
+                     qkv_bias=False, pos=pos)
+        if i in cfg.fetch_idx:
+            fetched.append(x)
+    fetched = [np_ln(f_, sd["norm.weight"], sd["norm.bias"], cfg.ln_eps)[:, 1:]
+               for f_ in fetched]
+    oracle = np.concatenate(fetched, -1)
+    np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_vit_layer_scale_and_registers(rng):
+    """DINOv2-style LayerScale + register tokens: converter + forward."""
+    import jax
+    cfg = vit_mod.ViTConfig(img_size=28, patch_size=14, embed_dim=16,
+                            depth=2, num_heads=2, layer_scale=True,
+                            num_reg_tokens=2)
+    sd = _rand_sd_vit(rng, cfg)
+    for i in range(cfg.depth):
+        sd[f"blocks.{i}.ls1.gamma"] = rng.normal(size=(16,)).astype(np.float32) * 0.1
+        sd[f"blocks.{i}.ls2.gamma"] = rng.normal(size=(16,)).astype(np.float32) * 0.1
+    sd["reg_token"] = rng.normal(size=(1, 2, 16)).astype(np.float32) * 0.05
+    variables = convert.vit_from_timm(sd, depth=cfg.depth)
+    model = vit_mod.VisionTransformer(cfg)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)))
+    flat_i = {jax.tree_util.keystr(p): v.shape
+              for p, v in jax.tree_util.tree_leaves_with_path(init)}
+    flat_c = {jax.tree_util.keystr(p): np.asarray(v).shape
+              for p, v in jax.tree_util.tree_leaves_with_path(variables)}
+    assert flat_i == flat_c
+    out = model.apply(variables, jnp.asarray(
+        rng.normal(size=(1, 28, 28, 3)).astype(np.float32)))
+    assert out.shape == (1, 2, 2, 16)
+    assert np.isfinite(np.asarray(out)).all()
