@@ -21,15 +21,30 @@ import sys
 from cmdiad_tpu.config import Config, TrainConfig, METHOD_NAMES, TRAIN_METHODS
 
 
+def _field_type(f) -> type | None:
+    """Concrete scalar type of a dataclass field, incl. Optional[int/float]."""
+    t = str(f.type)
+    if "bool" in t:
+        return bool
+    if "int" in t:
+        return int
+    if "float" in t:
+        return float
+    if "str" in t:
+        return str
+    return None
+
+
 def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type) -> None:
     for f in dataclasses.fields(dc_type):
         name = "--" + f.name
         default = f.default
-        if f.type in ("bool", bool) or isinstance(default, bool):
+        typ = _field_type(f)
+        if typ is bool or isinstance(default, bool):
             parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=default)
-        elif isinstance(default, (int, float, str)) or default is None:
-            typ = type(default) if default is not None else str
+        elif typ is not None:
+            # Optional[int/float] fields must not degrade to str parsing
             parser.add_argument(name, type=typ, default=default)
         # tuple-typed fields (mesh_shape) are set programmatically
 

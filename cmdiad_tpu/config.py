@@ -126,6 +126,19 @@ class Config:
                 raise ValueError("hallucination methods need main_modality in {'rgb','xyz'}")
             if n_fusion_flags != 1:
                 raise ValueError("exactly one fusion-module flag must be set for MTFI methods")
+            # flavour/method compatibility is statically known — reject now
+            # instead of crashing after the first backbone forward
+            if self.method_name == "WithHallucination" and not (
+                    self.use_hn or self.use_hn_conv or self.use_hrnet):
+                raise ValueError(
+                    "WithHallucination needs use_hn / use_hn_conv / use_hrnet "
+                    "(feature- or input-to-feature nets); the FtoI flags "
+                    "belong to WithHallucinationFromFeature")
+            if self.method_name == "WithHallucinationFromFeature" and not (
+                    self.use_hn_from_rgb_mlp or self.use_hn_from_rgb_conv):
+                raise ValueError(
+                    "WithHallucinationFromFeature needs use_hn_from_rgb_mlp "
+                    "or use_hn_from_rgb_conv (feature-to-input nets)")
         if self.dist_method_s not in ("l2", "l1", "cos_dist"):
             raise ValueError(f"bad dist_method_s {self.dist_method_s!r}")
         return self

@@ -26,10 +26,23 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from cmdiad_tpu.data import tiffio
-from cmdiad_tpu.ops.pooling import nearest_resize_np
+from cmdiad_tpu.ops.pooling import nearest_resize_np as _nearest_np
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def nearest_resize_np(a: np.ndarray, size):
+    """torch-nearest resize; C++ fast path for float32 HWC (loader hot path)."""
+    if (isinstance(size, int) and a.ndim == 3 and a.dtype == np.float32):
+        try:
+            from cmdiad_tpu import native
+            out = native.nearest_resize(np.ascontiguousarray(a), size, size)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    return _nearest_np(a, size)
 
 
 def mvtec3d_classes() -> List[str]:

@@ -126,12 +126,16 @@ class MemoryBankMethod:
         self._bank_acc[name].append(arr)
 
     def _finalize_banks(self, norm_names, coreset_names,
-                        stats_pairs: Optional[Dict[str, Tuple[str, str]]] = None):
+                        stats_pairs: Optional[Dict[str, Tuple[str, str]]] = None,
+                        place_names: Optional[Tuple[str, ...]] = None):
         """Concat accumulators, compute (possibly cross-wired) stats,
         normalise + coreset-select the requested banks.
 
         stats_pairs maps bank -> (mean_source, std_source); the reference's
         Q1 wiring is expressed by passing e.g. {'rgb': ('xyz', 'rgb')}.
+        place_names limits which banks are padded/uploaded to the device —
+        banks that only feed the (cross-wired) statistics are never scored
+        and would waste ~25 MB HBM each per class.
         """
         cat = {n: np.concatenate(self._bank_acc[n], axis=0)
                for n in self.bank_names}
@@ -143,7 +147,10 @@ class MemoryBankMethod:
             mean = float(cat[msrc].mean())
             std = float(cat[ssrc].std(ddof=1))
             self.stats[n] = (mean, std)
+        place = place_names if place_names is not None else self.bank_names
         for n in self.bank_names:
+            if n not in place:
+                continue
             bank = cat[n]
             if n in norm_names:
                 mean, std = self.stats[n]

@@ -152,9 +152,15 @@ class DoubleMethod(BatchedScoresMixin, MemoryBankMethod):
         return [("xyz", "xyz_patch", c.xyz_s_lambda, c.xyz_smap_lambda),
                 ("rgb", "rgb_patch", c.rgb_s_lambda, c.rgb_smap_lambda)]
 
+    @staticmethod
+    def _depth_swap(sample):
+        """use_depth inference-time swap (reference multiple_features.py:
+        898-899, 931-932): the *organized pc* is fed as the rgb input.
+        Bank building never swaps (the swap there is commented out,
+        :804-805)."""
+        return {**sample, "rgb": sample["organized_pc"]}
+
     def _batch_extract(self, batch):
-        if self.cfg.use_depth:
-            batch = {**batch, "rgb": batch["depth3"]}
         return self.extract(batch, with_2828=bool(self._stores))
 
     def add_batch_to_mem_bank(self, batch, class_name=None):
@@ -162,12 +168,6 @@ class DoubleMethod(BatchedScoresMixin, MemoryBankMethod):
             MemoryBankMethod.add_batch_to_mem_bank(self, batch, class_name)
             return
         BatchedScoresMixin.add_batch_to_mem_bank(self, batch, class_name)
-
-    def predict_batch(self, batch):
-        if self._stores:
-            MemoryBankMethod.predict_batch(self, batch)
-            return
-        BatchedScoresMixin.predict_batch(self, batch)
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
@@ -233,12 +233,25 @@ class DoubleMethod(BatchedScoresMixin, MemoryBankMethod):
 
     def add_sample_to_late_fusion_mem_bank(self, sample):
         if self.cfg.use_depth:
-            sample = {**sample, "rgb": sample["depth3"]}
+            sample = self._depth_swap(sample)
         self._push_late_fusion(*self._scores(sample))
+
+    def add_batch_to_late_fusion_mem_bank(self, batch):
+        if self.cfg.use_depth:
+            batch = self._depth_swap(batch)
+        BatchedScoresMixin.add_batch_to_late_fusion_mem_bank(self, batch)
+
+    def predict_batch(self, batch):
+        if self._stores:
+            MemoryBankMethod.predict_batch(self, batch)
+            return
+        if self.cfg.use_depth:
+            batch = self._depth_swap(batch)
+        BatchedScoresMixin.predict_batch(self, batch)
 
     def predict(self, sample, mask, label, rgb_path):
         if self.cfg.use_depth:
-            sample = {**sample, "rgb": sample["depth3"]}
+            sample = self._depth_swap(sample)
         out = self.extract(sample, with_2828=bool(self._stores))
         self._maybe_dump("test", sample, out)
         s_vec, s_maps = self._scores(sample, out)
@@ -278,10 +291,14 @@ class HallucinationMethod(MemoryBankMethod):
             return "rgb", "rgb_patch", self.cfg.rgb_s_lambda, self.cfg.rgb_smap_lambda
         return "xyz", "xyz_patch", self.cfg.xyz_s_lambda, self.cfg.xyz_smap_lambda
 
+    def _hall(self, sample, out):
+        """Hallucinated-feature hook; the FtoI subclass swaps the source."""
+        return self._hallucinate(sample, out)
+
     def add_sample_to_mem_bank(self, sample, class_name=None):
         self.class_name = class_name
         out = self.extract(sample)
-        hall = self._hallucinate(sample, out)
+        hall = self._hall(sample, out)
         self._append("rgb", out["rgb_patch"])
         self._append("xyz", out["xyz_patch"])
         self._append("fusion", hall)
@@ -289,11 +306,14 @@ class HallucinationMethod(MemoryBankMethod):
     def run_coreset(self):
         main = self.cfg.main_modality
         # Q1 wiring (multiple_features.py:372-377): means from the xyz bank,
-        # stds from the rgb bank, for all three stat sets.
+        # stds from the rgb bank, for all three stat sets.  Only the main +
+        # fusion banks are ever scored; the other modality's accumulator
+        # exists purely to feed the cross-wired statistics.
         self._finalize_banks(
             norm_names=(main, "fusion"), coreset_names=(main, "fusion"),
             stats_pairs={"xyz": ("xyz", "rgb"), "rgb": ("xyz", "rgb"),
-                         "fusion": ("xyz", "rgb")})
+                         "fusion": ("xyz", "rgb")},
+            place_names=(main, "fusion"))
 
     def _inference_extract(self, sample):
         """Extract using ONLY the main modality (true few-modal inference)."""
@@ -303,7 +323,7 @@ class HallucinationMethod(MemoryBankMethod):
 
     def _scores(self, sample):
         out = self._inference_extract(sample)
-        hall = self._hallucinate(sample, out)
+        hall = self._hall(sample, out)
         s_f, m_f = self.score_patch(hall, "fusion")
         main, key, lam_s, lam_m = self._main_keys()
         s_m, m_m = self.score_patch(out[key], main)
@@ -324,37 +344,27 @@ class HallucinationMethod(MemoryBankMethod):
 class HallucinationFromFeatureMethod(HallucinationMethod):
     """FtoI: hallucinate the missing *raw input* and re-encode it through the
     frozen backbone of the other modality (multiple_features.py:576-797) —
-    the only method where generated data re-enters a feature extractor."""
+    the only method where generated data re-enters a feature extractor.
+    All bank/score plumbing is inherited; only the hallucination hook
+    differs."""
 
     bank_names = ("rgb", "xyz", "fusion")
 
-    def _hallucinated_features(self, out):
+    def _hall(self, sample, out):
         cfg = self.cfg
         if cfg.main_modality == "rgb":
-            # rgb features -> organized-pc image -> point backbone
-            pc_img = self.fusion.apply(self.fusion_vars, out["rgb_patch2"])
-            pc_out = self.extract({"organized_pc": np.asarray(pc_img)})
+            # rgb features -> organized-pc image -> point backbone.  The
+            # regressed pc is dense (no exact-zero background), so the
+            # loader-capacity compaction would silently drop points; feed the
+            # full point list as the precompacted set (exact, reference
+            # re-encodes every nonzero point, multiple_features.py:591-596).
+            pc_img = np.asarray(self.fusion.apply(self.fusion_vars,
+                                                  out["rgb_patch2"]))
+            full_pts = pc_img.reshape(pc_img.shape[0], -1, 3)
+            pc_out = self.extract({"organized_pc": pc_img,
+                                   "points_compact": full_pts})
             return pc_out["xyz_patch"]
         # xyz features -> rgb image -> ViT
         rgb_img = self.fusion.apply(self.fusion_vars, out["xyz_patch"])
         rgb_out = self.extract({"rgb": np.asarray(rgb_img)})
         return rgb_out["rgb_patch"]
-
-    def add_sample_to_mem_bank(self, sample, class_name=None):
-        self.class_name = class_name
-        out = self.extract(sample)
-        self._append("rgb", out["rgb_patch"])
-        self._append("xyz", out["xyz_patch"])
-        self._append("fusion", self._hallucinated_features(out))
-
-    def _scores(self, sample):
-        out = self._inference_extract(sample)
-        hall = self._hallucinated_features(out)
-        s_f, m_f = self.score_patch(hall, "fusion")
-        main, key, lam_s, lam_m = self._main_keys()
-        s_m, m_m = self.score_patch(out[key], main)
-        c = self.cfg
-        s_vec = np.array([lam_s * float(s_m), c.fusion_s_lambda * float(s_f)])
-        s_maps = np.stack([lam_m * np.asarray(m_m),
-                           c.fusion_smap_lambda * np.asarray(m_f)])
-        return s_vec, s_maps

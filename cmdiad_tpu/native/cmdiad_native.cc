@@ -45,7 +45,7 @@ int tiff_probe_f32(const uint8_t* data, int64_t size,
   uint16_t n_tags;
   std::memcpy(&n_tags, data + ifd_off, 2);
   int64_t h = 0, w = 0, c = 1;
-  uint16_t bits = 0, comp = 1, fmt = 1;
+  uint16_t bits = 0, comp = 1, fmt = 1, planar = 1, predictor = 1;
   for (int i = 0; i < n_tags; ++i) {
     const uint8_t* e = data + ifd_off + 2 + i * 12;
     uint16_t tag, typ;
@@ -61,10 +61,14 @@ int tiff_probe_f32(const uint8_t* data, int64_t size,
       case 258: bits = (count == 1) ? v : 0; break;  // multi -> offset, read below
       case 259: comp = v; break;
       case 277: c = v; break;
+      case 284: planar = v; break;
+      case 317: predictor = v; break;
       case 339: fmt = (count == 1) ? v : 0; break;
     }
   }
-  if (comp != 1) return -4;  // compressed: python fallback handles it
+  if (comp != 1) return -4;      // compressed: python fallback handles it
+  if (planar != 1) return -9;    // planar layout: python fallback rejects too
+  if (predictor != 1) return -10;  // differenced data: python fallback decodes
   if (h <= 0 || w <= 0) return -5;
   *height = h; *width = w; *channels = c;
   return 0;

@@ -21,9 +21,11 @@ _SEP = "\x1f"  # unit separator — never appears in module names
 
 
 def _part(p) -> str:
-    if hasattr(p, "key"):
+    if hasattr(p, "key"):          # DictKey
         return str(p.key)
-    if hasattr(p, "idx"):
+    if hasattr(p, "name"):         # GetAttrKey (NamedTuple fields)
+        return str(p.name)
+    if hasattr(p, "idx"):          # SequenceKey
         return f"{p.idx:06d}"  # zero-pad so lexicographic == positional order
     return str(p)
 
@@ -36,26 +38,38 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
 
 
 def load_flat(path: str, prefix: str = "") -> Dict[str, np.ndarray]:
-    """{path-key: array} for keys under ``prefix`` (lexicographic order ==
-    tree-traversal order thanks to zero-padded sequence indices)."""
+    """{path-key: array} for keys under ``prefix``; the prefix (and its
+    separator) is stripped so keys are relative to the requested subtree."""
     out = {}
+    strip = len(prefix) + (1 if prefix else 0)  # prefix + separator
     with np.load(path, allow_pickle=False) as z:
-        for key in sorted(z.files):
+        for key in z.files:
             if key == "__meta__":
                 continue
-            if not prefix or key.startswith(prefix):
+            if not prefix:
                 out[key] = z[key]
+            elif key == prefix or key.startswith(prefix + _SEP):
+                out[key[strip:] if key != prefix else ""] = z[key]
     return out
 
 
-def restore_into(template, flat: Dict[str, np.ndarray]):
-    """Rebuild a pytree with ``template``'s structure from ordered leaves."""
-    leaves = [flat[k] for k in sorted(flat)]
+def restore_into(template, flat: Dict[str, np.ndarray], prefix: str = ""):
+    """Rebuild a pytree with ``template``'s structure from a flat key map.
+
+    Leaves are matched by their full path key (never by sort order — leaf
+    traversal order and lexicographic key order diverge for NamedTuple
+    states such as optax MultiStepsState).
+    """
+    sep = _SEP
+    paths_leaves = jax.tree_util.tree_leaves_with_path(template)
+    assert len(flat) == len(paths_leaves), (
+        f"checkpoint has {len(flat)} leaves, template {len(paths_leaves)}")
+    cast = []
+    for path, tmpl_leaf in paths_leaves:
+        key = prefix + sep.join(_part(p) for p in path)
+        leaf = flat[key]
+        cast.append(np.asarray(leaf).reshape(np.shape(tmpl_leaf)))
     treedef = jax.tree_util.tree_structure(template)
-    tmpl_leaves = jax.tree_util.tree_leaves(template)
-    assert len(leaves) == len(tmpl_leaves), (
-        f"checkpoint has {len(leaves)} leaves, template {len(tmpl_leaves)}")
-    cast = [np.asarray(l).reshape(np.shape(t)) for l, t in zip(leaves, tmpl_leaves)]
     return jax.tree_util.tree_unflatten(treedef, cast)
 
 

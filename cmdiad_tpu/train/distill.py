@@ -199,9 +199,13 @@ class DistillTrainer:
 
         eff_batch = cfg.batch_size * cfg.accum_iter
         self.lr = cfg.lr if cfg.lr is not None else cfg.blr * eff_batch / 256.0
-        steps_per_epoch = max(self.n_train // cfg.batch_size, 1)
+        # optax.MultiSteps advances the inner schedule once per *accumulated*
+        # update, so epochs must be counted in updates, not micro-batches —
+        # otherwise warmup stretches accum_iter x too long
+        updates_per_epoch = max((self.n_train // cfg.batch_size)
+                                // max(cfg.accum_iter, 1), 1)
         schedule = warmup_constant_lr(self.lr, cfg.warmup_epochs,
-                                      steps_per_epoch * 1)
+                                      updates_per_epoch)
         # note: the reference parses --weight_decay but never passes it to
         # torch.optim.Adam (pretrain:261) — decay is opt-in here and off by
         # default for behaviour parity

@@ -128,3 +128,39 @@ def test_cli_detect_e2e_tiny(tmp_path, rng, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "image_rocauc" in out and "Widget" in out
     assert (tmp_path / "res" / "aupro_results.md").exists()
+
+
+def test_cli_optional_numeric_fields_parse_typed():
+    """Regression: Optional[int/float] CLI args must not degrade to str."""
+    import argparse
+    from cmdiad_tpu import cli
+    from cmdiad_tpu.config import Config, TrainConfig
+    p = argparse.ArgumentParser()
+    cli._add_dataclass_args(p, Config)
+    args = p.parse_args(["--random_state", "7", "--f_coreset", "0.2"])
+    assert args.random_state == 7 and isinstance(args.random_state, int)
+    assert args.f_coreset == 0.2
+    p2 = argparse.ArgumentParser()
+    cli._add_dataclass_args(p2, TrainConfig)
+    args2 = p2.parse_args(["--lr", "0.001"])
+    assert args2.lr == 0.001 and isinstance(args2.lr, float)
+
+
+def test_resume_with_grad_accumulation(rng, tmp_path):
+    """Regression: MultiSteps NamedTuple state must restore by path, not
+    lexicographic leaf order (mini_step/gradient_step are non-alphabetical)."""
+    from cmdiad_tpu.config import TrainConfig
+    from cmdiad_tpu.train.distill import DistillTrainer
+    base = rng.normal(size=(16, 8, 8)).astype(np.float32)
+    arrays = {"patch": np.concatenate([base, base * 0.5], axis=2)}
+    cfg = TrainConfig(train_method="HallucinationCrossModality", epochs=2,
+                      batch_size=4, accum_iter=2, warmup_epochs=1, blr=0.02,
+                      seed=0, output_dir=str(tmp_path), save_every=1)
+    DistillTrainer(cfg, feature_dim=8, arrays=arrays,
+                   test_arrays=arrays).train()
+    cfg2 = cfg.replace(epochs=3, resume=str(tmp_path / "checkpoint-1.npz"))
+    t2 = DistillTrainer(cfg2, feature_dim=8, arrays=arrays,
+                        test_arrays=arrays)
+    assert t2.start_epoch == 2
+    result = t2.train()
+    assert np.isfinite(result.history["train_loss"]).all()
