@@ -26,28 +26,38 @@ _METHODS = {
 }
 
 
-def build_fusion(cfg: Config):
-    """(module, variables) for the configured MTFI fusion net, or (None, None)."""
+def build_fusion(cfg: Config, backbone: Optional[DualBackbone] = None):
+    """(module, variables) for the configured MTFI fusion net, or (None, None).
+
+    Feature dims derive from the backbone configs (reference hardcodes 768,
+    features.py:91-106); this keeps MTFI usable with the small/tiny smoke
+    backbones too.
+    """
     dtype = jnp.dtype(cfg.compute_dtype)
+    xyz_dim = backbone.pm_config.out_dim if backbone else 768
+    rgb_dim = backbone.vit_config.embed_dim if backbone else 768
     if cfg.use_hn:
-        rgb_dim = 384 if cfg.rgb_backbone_name == "vit_small_patch8_224_dino" else 768
-        net = FtoFMlp(768, rgb_dim, dtype=dtype)
-        init_args = (jnp.zeros((1, 4, 768)), jnp.zeros((1, 4, rgb_dim)))
+        net = FtoFMlp(xyz_dim, rgb_dim, dtype=dtype)
+        init_args = (jnp.zeros((1, 4, xyz_dim)), jnp.zeros((1, 4, rgb_dim)))
         loader = convert.ftof_mlp_from_torch
     elif cfg.use_hn_conv:
-        net = FtoFConv(dtype=dtype)
-        init_args = (jnp.zeros((1, 3136, 768)), jnp.zeros((1, 3136, 768)))
+        net = FtoFConv(xyz_dim, rgb_dim, dtype=dtype)
+        init_args = (jnp.zeros((1, 3136, xyz_dim)),
+                     jnp.zeros((1, 3136, rgb_dim)))
         loader = convert.ftof_conv_from_torch
     elif cfg.use_hn_from_rgb_mlp:
-        net = FtoIMlp(768, out_size=cfg.xyz_size, dtype=dtype)
-        init_args = (jnp.zeros((1, 3136, 768)),)
+        in_dim = rgb_dim if cfg.main_modality == "rgb" else xyz_dim
+        net = FtoIMlp(in_dim, out_size=cfg.xyz_size, dtype=dtype)
+        init_args = (jnp.zeros((1, 3136, in_dim)),)
         loader = convert.ftoi_mlp_from_torch
     elif cfg.use_hn_from_rgb_conv:
-        net = FtoIConv(768, out_size=cfg.xyz_size, dtype=dtype)
-        init_args = (jnp.zeros((1, 3136, 768)),)
+        in_dim = rgb_dim if cfg.main_modality == "rgb" else xyz_dim
+        net = FtoIConv(in_dim, out_size=cfg.xyz_size, dtype=dtype)
+        init_args = (jnp.zeros((1, 3136, in_dim)),)
         loader = convert.ftoi_conv_from_torch
     elif cfg.use_hrnet:
-        net = HRNet(768, dtype=dtype)
+        out_dim = xyz_dim if cfg.main_modality == "rgb" else rgb_dim
+        net = HRNet(out_dim, dtype=dtype)
         init_args = (jnp.zeros((1, cfg.rgb_size, cfg.rgb_size, 3)),)
         loader = convert.hrnet_from_torch
     else:
@@ -109,6 +119,6 @@ def build_method(cfg: Config, backbone: Optional[DualBackbone] = None,
             image_size=cfg.rgb_size, pm_config=pm_config)
     if params is None:
         params = load_backbone_params(cfg, backbone)
-    fusion, fusion_vars = build_fusion(cfg)
+    fusion, fusion_vars = build_fusion(cfg, backbone)
     cls = _METHODS[cfg.method_name]
     return cls(cfg, backbone, params, fusion=fusion, fusion_vars=fusion_vars)

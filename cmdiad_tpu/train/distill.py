@@ -221,8 +221,14 @@ class DistillTrainer:
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = tx.init(self.params)
         self.start_epoch = cfg.start_epoch
-        if cfg.resume:
-            self._resume(cfg.resume)
+        resume = cfg.resume
+        if resume == "auto":
+            # elastic restart: pick up the newest checkpoint if one exists
+            resume = self._latest_checkpoint()
+            if resume is None:
+                log.info("resume=auto: no checkpoint found, fresh start")
+        if resume:
+            self._resume(resume)
 
         # replicate state over the mesh; batches get sharded per step
         self.params = replicate(self.mesh, self.params)
@@ -286,6 +292,19 @@ class DistillTrainer:
             self.opt_state = restore_into(self.opt_state, opt_flat)
         self.start_epoch = int(meta.get("epoch", -1)) + 1
         log.info("resumed from %s at epoch %d", path, self.start_epoch)
+
+    def _latest_checkpoint(self):
+        import glob
+        import re
+        if not self.cfg.output_dir:
+            return None
+        paths = glob.glob(f"{self.cfg.output_dir}/checkpoint-*.npz")
+        if not paths:
+            return None
+        def epoch_of(p):
+            m = re.search(r"checkpoint-(\d+)\.npz$", p)
+            return int(m.group(1)) if m else -1
+        return max(paths, key=epoch_of)
 
     def _log_metrics(self, record: dict):
         """Append scalars to <output_dir>/metrics.jsonl (the framework's

@@ -101,3 +101,18 @@ def test_other_train_methods_one_step(rng, tm, dim):
                              test_arrays=arrays)
     result = trainer.train()
     assert np.isfinite(result.history["train_loss"]).all()
+
+
+def test_auto_resume(rng, tmp_path):
+    """resume='auto' picks the newest checkpoint; fresh start when none."""
+    arrays = _ftof_arrays(rng)
+    test_arrays = _ftof_arrays(rng, n=8)
+    cfg = _cfg(epochs=2, output_dir=str(tmp_path), save_every=1,
+               resume="auto")
+    t0 = DistillTrainer(cfg, feature_dim=8, arrays=arrays,
+                        test_arrays=test_arrays)
+    assert t0.start_epoch == 0      # nothing to resume yet
+    t0.train()
+    t1 = DistillTrainer(cfg.replace(epochs=4), feature_dim=8, arrays=arrays,
+                        test_arrays=test_arrays)
+    assert t1.start_epoch == 2      # resumed from checkpoint-1

@@ -115,3 +115,24 @@ def test_batched_eval_matches_batch1(dataset_root):
     m3 = _run(_cfg(method_name="DINO+Point_MAE", batch_size=3), dataset_root)
     for k in m1:
         assert abs(m1[k] - m3[k]) < 5e-3, (k, m1, m3)
+
+
+def test_mtfi_itof_hrnet_e2e(dataset_root):
+    """ItoF (HRNet) MTFI variant end-to-end via the registry (fusion dims
+    derived from the backbone, so the tiny backbones work)."""
+    import jax
+    from cmdiad_tpu.methods import registry as reg
+    cfg = _cfg(method_name="WithHallucination", main_modality="xyz",
+               use_hrnet=True).replace(dataset_path=dataset_root)
+    bb = _small_backbone()
+    fusion, fusion_vars = reg.build_fusion(cfg, bb)
+    method = reg._METHODS["WithHallucination"](
+        cfg, bb, bb.init_params(0), fusion=fusion, fusion_vars=fusion_vars)
+    runner = CMDIADRunner.__new__(CMDIADRunner)
+    runner.cfg = cfg
+    runner.method = method
+    runner.timings = {}
+    runner.fit("widget")
+    metrics = runner.evaluate("widget")
+    for k in ("image_rocauc", "pixel_rocauc", "au_pro"):
+        assert 0.0 <= metrics[k] <= 1.0
