@@ -1,0 +1,112 @@
+"""Fused memory-bank min-distance Pallas kernel.
+
+The PatchCore hot loop is ``min over bank of ||q - b||`` for 3136 query
+patches against up to ~10^5 bank rows.  The jnp path materialises the
+(Np, Nb) distance matrix in HBM (822 MB at Nb=65k) and runs ~12.9 ms; this
+kernel streams bank tiles through VMEM, computes the -2·Q·Bᵀ term on the MXU
+in bfloat16 with f32 accumulation, and keeps a running (min, argmin) in VMEM
+scratch — the distance matrix never exists.
+
+Layout: distances are computed transposed, (TILE_bank, Np), so the reduction
+over bank rows is a sublane reduction leaving a lane-major (1, Np) running
+state.  Tie-breaking matches jnp.argmin (first occurrence) because the
+running update is a strict '<'.
+
+This is the "fused cdist+top-k" kernel called for by the project north star
+(BASELINE.json); the k=1(+argmin) case is what scoring needs — the eq.7
+reweight's k=3 runs on one bank row downstream and stays in jnp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(nq, tile, patch_ref, pnorm_ref, bank_ref, bnorm_ref,
+            minv_ref, mini_ref, run_v, run_i):
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        run_v[0, :] = jnp.full((nq,), 3.4e38, jnp.float32)
+        run_i[0, :] = jnp.zeros((nq,), jnp.int32)
+
+    # d2 = |b|^2 - 2 b.q  (the |q|^2 row-constant is added by the caller;
+    # it cannot change the argmin)
+    prod = jnp.dot(bank_ref[:, :], patch_ref[:, :],
+                   preferred_element_type=jnp.float32)       # (TILE, Nq)
+    d2 = bnorm_ref[:, :] - 2.0 * prod                        # (TILE, Nq)
+    tile_min = jnp.min(d2, axis=0)                           # (Nq,)
+    tile_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + i * tile
+
+    prev_v = run_v[0, :]
+    take = tile_min < prev_v
+    run_v[0, :] = jnp.where(take, tile_min, prev_v)
+    run_i[0, :] = jnp.where(take, tile_arg, run_i[0, :])
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        minv_ref[0, :] = run_v[0, :] + pnorm_ref[0, :]
+        mini_ref[0, :] = run_i[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
+def bank_min_dist_pallas(patch: jnp.ndarray, bank: jnp.ndarray,
+                         tile: int = 1024, compute_dtype: str = "bfloat16"):
+    """(min euclidean distance, argmin) of each patch row over the bank.
+
+    Args:
+      patch: (Np, D) float32 (Np a multiple of 128 after padding here).
+      bank:  (Nb, D) float32, Nb a multiple of ``tile``.
+    Returns:
+      (min_val (Np,) float32, min_idx (Np,) int32) — matches
+      ops.scoring.bank_min_dist within the bf16 product's precision.
+    """
+    nq_orig, d = patch.shape
+    nb = bank.shape[0]
+    assert nb % tile == 0, (nb, tile)
+    cdt = jnp.dtype(compute_dtype)
+
+    nq = -(-nq_orig // 128) * 128
+    patch_p = jnp.pad(patch.astype(jnp.float32), ((0, nq - nq_orig), (0, 0)))
+    pnorm = jnp.sum(patch_p * patch_p, axis=1)[None, :]       # (1, Nq) f32
+    bnorm = jnp.sum(bank.astype(jnp.float32) * bank.astype(jnp.float32),
+                    axis=1)[:, None]                          # (Nb, 1) f32
+
+    minv, mini = pl.pallas_call(
+        functools.partial(_kernel, nq, tile),
+        grid=(nb // tile,),
+        in_specs=[
+            pl.BlockSpec((d, nq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # patch.T
+            pl.BlockSpec((1, nq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # |q|^2
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # bank tile
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # |b|^2 tile
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, nq), jnp.float32),
+            jax.ShapeDtypeStruct((1, nq), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, nq), jnp.float32),
+            pltpu.VMEM((1, nq), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(patch_p.T.astype(cdt), pnorm, bank.astype(cdt), bnorm)
+
+    min_val = jnp.sqrt(jnp.maximum(minv[0, :nq_orig], 0.0))
+    return min_val, mini[0, :nq_orig]
