@@ -117,3 +117,25 @@ def test_sparse_random_projection_shapes(rng):
     assert out.shape[1] == coreset.johnson_lindenstrauss_min_dim(5000, 0.9)
     with pytest.raises(ValueError):
         coreset.sparse_random_projection(jnp.asarray(x), eps=0.1)
+
+
+def test_pallas_min_dist_matches_jnp(rng):
+    """Fused streaming kernel (interpret mode off-TPU) vs the jnp scan."""
+    from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
+    patch = rng.normal(size=(200, 16)).astype(np.float32)
+    bank = rng.normal(size=(2048, 16)).astype(np.float32)
+    mv, mi = bank_min_dist_pallas(jnp.asarray(patch), jnp.asarray(bank),
+                                  tile=256, compute_dtype="float32")
+    d = np.linalg.norm(patch[:, None] - bank[None], axis=-1)
+    np.testing.assert_allclose(np.asarray(mv), d.min(1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(mi), d.argmin(1))
+
+
+def test_bank_min_dist_without_argmin(rng):
+    patch = rng.normal(size=(64, 8)).astype(np.float32)
+    bank = rng.normal(size=(1000, 8)).astype(np.float32)
+    mv, mi = scoring.bank_min_dist(jnp.asarray(patch), jnp.asarray(bank),
+                                   chunk=128, with_argmin=False)
+    assert mi is None
+    d = np.linalg.norm(patch[:, None] - bank[None], axis=-1)
+    np.testing.assert_allclose(np.asarray(mv), d.min(1), rtol=1e-4, atol=1e-4)

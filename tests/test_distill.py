@@ -116,3 +116,21 @@ def test_auto_resume(rng, tmp_path):
     t1 = DistillTrainer(cfg.replace(epochs=4), feature_dim=8, arrays=arrays,
                         test_arrays=test_arrays)
     assert t1.start_epoch == 2      # resumed from checkpoint-1
+
+
+@pytest.mark.parametrize("tm", ["RGBFeatureToXYZInputMLP",
+                                "XYZFeatureToRGBInputMLP",
+                                "XYZInputToRGBFeatureHRNET"])
+def test_remaining_train_methods_one_step(rng, tm):
+    """Remaining FtoI-MLP / XYZ-flavour training paths (one tiny step)."""
+    cfg = _cfg(train_method=tm, epochs=1, batch_size=2, blr=0.001)
+    if "InputMLP" in tm:
+        arrays = {"feature": rng.normal(size=(4, 3136, 768)).astype(np.float32),
+                  "target": rng.normal(size=(4, 224, 224, 3)).astype(np.float32)}
+    else:
+        arrays = {"image": rng.normal(size=(4, 224, 224, 3)).astype(np.float32),
+                  "feature": rng.normal(size=(4, 3136, 768)).astype(np.float32)}
+    trainer = DistillTrainer(cfg, feature_dim=768, arrays=arrays,
+                             test_arrays=arrays)
+    result = trainer.train()
+    assert np.isfinite(result.history["train_loss"]).all()
