@@ -139,7 +139,23 @@ def cmd_convert_ckpt(args) -> None:
     print(f"converted {args.src} -> {args.dst}")
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first compiles of the big fused
+    programs take minutes; cached reloads take seconds across runs."""
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "CMDIAD_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "cmdiad_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> None:
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser("cmdiad_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
