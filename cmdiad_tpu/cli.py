@@ -24,6 +24,8 @@ from cmdiad_tpu.config import Config, TrainConfig, METHOD_NAMES, TRAIN_METHODS
 def _field_type(f) -> type | None:
     """Concrete scalar type of a dataclass field, incl. Optional[int/float]."""
     t = str(f.type)
+    if "Tuple" in t or "tuple" in t:   # e.g. mesh_shape — not CLI-exposed
+        return None
     if "bool" in t:
         return bool
     if "int" in t:
@@ -99,6 +101,11 @@ def cmd_train(args) -> None:
     cfg = _config_from_args(args, TrainConfig)
     trainer = DistillTrainer(cfg)
     result = trainer.train()
+    if not result.history["train_loss"]:
+        print(json.dumps({"status": "already complete",
+                          "start_epoch": trainer.start_epoch,
+                          "epochs": cfg.epochs}))
+        return
     print(json.dumps({"final_train_loss": result.history["train_loss"][-1],
                       "final_test_loss": result.history["test_loss"][-1]}))
 

@@ -38,22 +38,24 @@ from cmdiad_tpu.ops.scoring import patchcore_score, pad_bank
 
 @functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
                                              "n_reweight", "chunk"))
-def _score_one(patch, bank, mean, std, feat_hw, out_size, metric, n_reweight,
-               chunk=8192):
+def _score_one(patch, bank, mean, std, n_valid, feat_hw, out_size, metric,
+               n_reweight, chunk=8192):
     normed = (patch - mean) / std
     return patchcore_score(normed, bank, feat_hw, out_size=out_size,
-                           metric=metric, n_reweight=n_reweight, chunk=chunk)
+                           metric=metric, n_reweight=n_reweight, chunk=chunk,
+                           n_valid=n_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
                                              "n_reweight", "chunk"))
-def _score_batch(patches, bank, mean, std, feat_hw, out_size, metric,
+def _score_batch(patches, bank, mean, std, n_valid, feat_hw, out_size, metric,
                  n_reweight, chunk=8192):
     """vmapped per-sample scoring: (B, Np, D) -> ((B,), (B, out, out))."""
     def one(p):
         return patchcore_score((p - mean) / std, bank, feat_hw,
                                out_size=out_size, metric=metric,
-                               n_reweight=n_reweight, chunk=chunk)
+                               n_reweight=n_reweight, chunk=chunk,
+                               n_valid=n_valid)
     return jax.vmap(one)(patches)
 
 
@@ -62,6 +64,10 @@ class MemoryBankMethod:
 
     #: bank names this method maintains (subclasses set)
     bank_names: Tuple[str, ...] = ()
+    #: modality keys this method actually consumes; None = all.  Restricting
+    #: them keeps single-modality methods from running BOTH frozen backbones
+    #: (extract() forwards whatever modalities reach it).
+    needed_keys: Optional[Tuple[str, ...]] = None
 
     def __init__(self, cfg: Config, backbone: DualBackbone,
                  params, fusion=None, fusion_vars=None,
@@ -76,6 +82,7 @@ class MemoryBankMethod:
 
         self._bank_acc: Dict[str, List[np.ndarray]] = {n: [] for n in self.bank_names}
         self.banks: Dict[str, jnp.ndarray] = {}
+        self.bank_sizes: Dict[str, int] = {}  # true rows before pad_bank
         self.stats: Dict[str, Tuple[float, float]] = {}
 
         self.detect_fuser = SGDOneClassSVM(
@@ -103,10 +110,12 @@ class MemoryBankMethod:
         out = {}
         for k, batched_ndim in (("rgb", 4), ("organized_pc", 4),
                                 ("depth3", 4), ("points_compact", 3)):
-            if k in sample:
-                v = np.asarray(sample[k])
-                out[k] = jnp.asarray(v[None] if v.ndim == batched_ndim - 1
-                                     else v)
+            if k not in sample:
+                continue
+            if self.needed_keys is not None and k not in self.needed_keys:
+                continue
+            v = np.asarray(sample[k])
+            out[k] = jnp.asarray(v[None] if v.ndim == batched_ndim - 1 else v)
         return out
 
     def extract(self, sample: dict, rgb_key: str = "rgb",
@@ -163,6 +172,7 @@ class MemoryBankMethod:
                     metric=self.cfg.dist_method_coreset,
                     compute_dtype=self.cfg.coreset_dtype)
                 bank = bank[np.asarray(idx)]
+            self.bank_sizes[n] = bank.shape[0]
             self.banks[n] = self._place_bank(
                 pad_bank(jnp.asarray(bank, jnp.float32)))
         self._bank_acc = {n: [] for n in self.bank_names}
@@ -195,6 +205,7 @@ class MemoryBankMethod:
         mean, std = self.stats[bank_name]
         s, s_map = _score_one(
             p, self.banks[bank_name], jnp.float32(mean), jnp.float32(std),
+            jnp.int32(self.bank_sizes[bank_name]),
             feat_hw=(side, side), out_size=self.cfg.gt_size,
             metric=self.cfg.dist_method_s, n_reweight=self.cfg.n_reweight,
             chunk=self._chunk())
@@ -206,7 +217,8 @@ class MemoryBankMethod:
         mean, std = self.stats[bank_name]
         return _score_batch(
             patches, self.banks[bank_name], jnp.float32(mean),
-            jnp.float32(std), feat_hw=(side, side),
+            jnp.float32(std), jnp.int32(self.bank_sizes[bank_name]),
+            feat_hw=(side, side),
             out_size=self.cfg.gt_size, metric=self.cfg.dist_method_s,
             n_reweight=self.cfg.n_reweight, chunk=self._chunk())
 

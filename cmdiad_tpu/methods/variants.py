@@ -79,6 +79,7 @@ class BatchedScoresMixin:
 
 class RGBMethod(BatchedScoresMixin, MemoryBankMethod):
     bank_names = ("rgb",)
+    needed_keys = ("rgb",)   # never run the point backbone
 
     def _batch_modalities(self):
         c = self.cfg
@@ -109,12 +110,15 @@ class RGBMethod(BatchedScoresMixin, MemoryBankMethod):
 class DepthMethod(RGBMethod):
     """RGB pipeline over the 3-channel depth map (reference DepthFeatures)."""
 
+    needed_keys = ("depth3",)
+
     def extract(self, sample, rgb_key="rgb", with_2828=False):
         return super().extract(sample, rgb_key="depth3", with_2828=with_2828)
 
 
 class PointMethod(BatchedScoresMixin, MemoryBankMethod):
     bank_names = ("xyz",)
+    needed_keys = ("organized_pc", "points_compact")   # never run the ViT
 
     def _batch_modalities(self):
         c = self.cfg

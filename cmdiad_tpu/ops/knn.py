@@ -58,10 +58,17 @@ def masked_knn(points: jnp.ndarray, mask: jnp.ndarray,
     if method == "approx":
         # recall 0.95 requested => ~0.977 measured at these shapes; higher
         # targets inflate the aggregation pass cost ~7x (29 ms vs 4 ms)
-        _, idx = lax.approx_max_k(-d, k, recall_target=0.95,
-                                  aggregate_to_topk=True)
+        neg, idx = lax.approx_max_k(-d, k, recall_target=0.95,
+                                    aggregate_to_topk=True)
     else:
-        _, idx = lax.top_k(-d, k)
+        neg, idx = lax.top_k(-d, k)
+    # Samples with fewer than k valid points would otherwise return masked
+    # indices in the tail (their distance is BIG_DIST); substitute the first
+    # valid point so downstream gathers never touch padding — mirrors FPS's
+    # repeat-when-exhausted semantics.
+    first_valid = jnp.argmax(mask, axis=-1).astype(jnp.int32)  # (B,)
+    invalid = -neg >= jnp.float32(BIG_DIST) / 2
+    idx = jnp.where(invalid, first_valid[:, None, None], idx)
     return idx.astype(jnp.int32)
 
 

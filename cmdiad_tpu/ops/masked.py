@@ -72,25 +72,35 @@ def compact_points(points: jnp.ndarray, mask: jnp.ndarray, capacity: int):
     return out[:, :capacity]
 
 
+_compact_overflow_warned = False
+
+
 def host_compact_points(organized_pc, capacity: int):
     """numpy compaction for the loader threads: (H, W, 3) -> (capacity, 3).
 
     Device-side compaction (scatter or searchsorted-gather) costs 4-7 ms on
     TPU — data-dependent movement is hostile there — while this numpy filter
     is ~0.5 ms and overlaps with device compute via the prefetch loader.
+
+    Warns (once) when valid points exceed ``capacity`` — that means the
+    cloud was not background-plane-removed (preprocess step skipped) and the
+    dropped tail silently biases FPS/KNN.
     """
     import numpy as np
     flat = np.asarray(organized_pc, np.float32).reshape(-1, 3)
-    valid = flat[np.all(flat != 0.0, axis=1)][:capacity]
+    valid = flat[np.all(flat != 0.0, axis=1)]
+    global _compact_overflow_warned
+    if len(valid) > capacity and not _compact_overflow_warned:
+        _compact_overflow_warned = True
+        import logging
+        logging.getLogger("cmdiad_tpu").warning(
+            "point cloud has %d valid points > compaction capacity %d — "
+            "dropping the tail. Did you run `cli preprocess` (plane "
+            "removal)? Raise the dataset's point_capacity otherwise.",
+            len(valid), capacity)
+    valid = valid[:capacity]
     out = np.zeros((capacity, 3), np.float32)
     out[: len(valid)] = valid
     return out
 
 
-def masked_mean_std(x: jnp.ndarray, mask: jnp.ndarray):
-    """Scalar mean/std over rows where mask is True (Bessel-corrected like torch.std)."""
-    mask_f = mask.astype(x.dtype)
-    denom = jnp.maximum(jnp.sum(mask_f) * x.shape[-1], 1.0)
-    mean = jnp.sum(x * mask_f[..., None]) / denom
-    var = jnp.sum(((x - mean) ** 2) * mask_f[..., None]) / jnp.maximum(denom - 1.0, 1.0)
-    return mean, jnp.sqrt(var)

@@ -65,9 +65,20 @@ def cdist(a: jnp.ndarray, b: jnp.ndarray, metric: str = "l2") -> jnp.ndarray:
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def mask_padding_cols(d: jnp.ndarray, n_valid, col_offset=0):
+    """Force distances to bank padding rows to BIG.
+
+    PAD_VALUE rows are intrinsically far under l2/l1, but under cos_dist a
+    constant row has distance in [0, 2] and can win the min — padding must
+    be masked by index, not by value.
+    """
+    cols = jnp.arange(d.shape[-1]) + col_offset
+    return jnp.where(cols[None, :] < n_valid, d, jnp.float32(3.4e38))
+
+
 def bank_min_dist(patch: jnp.ndarray, bank: jnp.ndarray,
                   metric: str = "l2", chunk: int | None = 8192,
-                  with_argmin: bool = True):
+                  with_argmin: bool = True, n_valid=None):
     """Per-patch (min distance[, argmin index]) over the bank, chunk-scanned.
 
     Args:
@@ -78,12 +89,18 @@ def bank_min_dist(patch: jnp.ndarray, bank: jnp.ndarray,
         distance matmul and min/argmin shard-local with one all-reduce).
       with_argmin: the per-chunk index reduce costs about as much as the min
         itself; pass False when indices aren't needed (min_idx is None then).
+      n_valid: real bank row count; rows beyond it (pad_bank padding) are
+        index-masked (required for cos_dist, harmless elsewhere).
     Returns:
       min_val (Np,), min_idx (Np,) int32 or None.
     """
     nb = bank.shape[0]
+
+    def _mask(d, offset=0):
+        return d if n_valid is None else mask_padding_cols(d, n_valid, offset)
+
     if chunk is None or nb <= chunk:
-        d = cdist(patch, bank, metric)
+        d = _mask(cdist(patch, bank, metric))
         mi = jnp.argmin(d, axis=1).astype(jnp.int32) if with_argmin else None
         return jnp.min(d, axis=1), mi
 
@@ -93,19 +110,20 @@ def bank_min_dist(patch: jnp.ndarray, bank: jnp.ndarray,
     chunks = bank_p.reshape(n_chunks, chunk, bank.shape[1])
 
     if not with_argmin:
-        def body_v(best_val, rows):
-            d = cdist(patch, rows, metric)
+        def body_v(best_val, xs):
+            c_idx, rows = xs
+            d = _mask(cdist(patch, rows, metric), c_idx * chunk)
             return jnp.minimum(best_val, jnp.min(d, axis=1)), None
 
         mv, _ = lax.scan(body_v,
                          jnp.full((patch.shape[0],), jnp.inf, jnp.float32),
-                         chunks)
+                         (jnp.arange(n_chunks), chunks))
         return mv, None
 
     def body(carry, xs):
         best_val, best_idx = carry
         c_idx, rows = xs
-        d = cdist(patch, rows, metric)
+        d = _mask(cdist(patch, rows, metric), c_idx * chunk)
         v = jnp.min(d, axis=1)
         i = jnp.argmin(d, axis=1).astype(jnp.int32) + c_idx * chunk
         take = v < best_val
@@ -120,7 +138,7 @@ def bank_min_dist(patch: jnp.ndarray, bank: jnp.ndarray,
 def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
                     feat_hw, out_size: int = 224, metric: str = "l2",
                     n_reweight: int = 3, blur_radius: float = 4.0,
-                    chunk: int | None = 8192):
+                    chunk: int | None = 8192, n_valid=None):
     """Image score + segmentation map for one sample against one bank.
 
     Mirrors ``Features.compute_single_s_s_map`` (features.py:225-297):
@@ -144,13 +162,29 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
     # the argmin is only ever needed for ONE patch (the most anomalous).
     # Compute min values only, then re-derive that single patch's nearest
     # bank row with one matvec — exact same result, ~2.3x faster at 65k rows.
-    min_val, _ = bank_min_dist(patch, bank, metric, chunk, with_argmin=False)
+    # l2 on TPU with a bucket-padded bank: use the fused streaming Pallas
+    # kernel (ops.pallas_scoring) — the distance matrix never materialises.
+    # Padding rows are value-far under l2, so no index masking is needed.
+    # (measured crossover: jnp wins below ~32k rows, the kernel above)
+    use_kernel = (metric == "l2" and chunk is not None
+                  and jax.default_backend() == "tpu"
+                  and bank.shape[0] % 1024 == 0 and bank.shape[0] >= 32768)
+    if use_kernel:
+        from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
+        min_val, _ = bank_min_dist_pallas(patch, bank)
+    else:
+        min_val, _ = bank_min_dist(patch, bank, metric, chunk,
+                                   with_argmin=False, n_valid=n_valid)
     s_idx = jnp.argmax(min_val)
     s_star = min_val[s_idx]
 
+    def _mask_row(row):
+        return (row if n_valid is None
+                else mask_padding_cols(row[None, :], n_valid)[0])
+
     m_test = patch[s_idx]
-    m_star = bank[jnp.argmin(cdist(m_test[None, :], bank, metric)[0])]
-    w_dist = cdist(m_star[None, :], bank, metric)[0]
+    m_star = bank[jnp.argmin(_mask_row(cdist(m_test[None, :], bank, metric)[0]))]
+    w_dist = _mask_row(cdist(m_star[None, :], bank, metric)[0])
     # n_reweight smallest by iterative min-extraction — lax.top_k over a
     # ~10^5-wide row lowers to a sort costing ~7 ms on v5e; three min/argmin
     # passes are ~100x cheaper
@@ -173,13 +207,6 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
     s_map = bilinear_resize(s_map, (out_size, out_size))[..., 0]
     s_map = knn_gaussian_blur(s_map, blur_radius)
     return s, s_map
-
-
-@functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
-                                             "n_reweight"))
-def patchcore_score_jit(patch, bank, feat_hw, out_size=224, metric="l2",
-                        n_reweight=3):
-    return patchcore_score(patch, bank, feat_hw, out_size, metric, n_reweight)
 
 
 def pad_bank(bank: jnp.ndarray, bucket: int = 8192) -> jnp.ndarray:

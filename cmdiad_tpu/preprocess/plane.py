@@ -45,8 +45,23 @@ def _fit_planes_batch(samples: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 def ransac_plane(points: np.ndarray, distance_threshold: float = 0.004,
                  ransac_n: int = 50, num_iterations: int = 1000,
-                 seed: int = 0) -> np.ndarray:
-    """Best-fit plane (a, b, c, d) with |ax+by+cz+d| as point distance."""
+                 seed: int = 0, prefer_native: bool = True) -> np.ndarray:
+    """Best-fit plane (a, b, c, d) with |ax+by+cz+d| as point distance.
+
+    Uses the C++ implementation (cmdiad_tpu.native) when available; this
+    numpy version is the reference implementation and fallback.  Both are
+    deterministic per seed but draw different sample sequences — any robust
+    fit of the same border ring is equivalent downstream.
+    """
+    if prefer_native and len(points) >= 3:
+        try:
+            from cmdiad_tpu import native
+            plane = native.ransac_plane(points, distance_threshold,
+                                        ransac_n, num_iterations, seed)
+            if plane is not None:
+                return plane
+        except Exception:
+            pass
     rng = np.random.default_rng(seed)
     n = len(points)
     if n < 3:

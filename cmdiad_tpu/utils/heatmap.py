@@ -49,12 +49,18 @@ def render_heatmap(score_map: np.ndarray, out_path: str,
 
 
 def render_run(seg_dir: str, out_dir: str, limit: int = 0) -> int:
-    """Render every saved .npz segmentation map under ``seg_dir``."""
-    paths = sorted(Path(seg_dir).rglob("*.npz"))
+    """Render every saved .npz segmentation map under ``seg_dir``.
+
+    Output names embed the relative path (class dirs etc.) so same-numbered
+    samples from different classes don't overwrite each other.
+    """
+    root = Path(seg_dir)
+    paths = sorted(root.rglob("*.npz"))
     if limit:
         paths = paths[:limit]
     for p in paths:
+        name = "_".join(p.relative_to(root).with_suffix("").parts)
         with np.load(p) as z:
-            render_heatmap(z["s_map"], str(Path(out_dir) / (p.stem + ".png")),
-                           gt=z.get("gt"), title=p.stem)
+            render_heatmap(z["s_map"], str(Path(out_dir) / (name + ".png")),
+                           gt=z.get("gt"), title=name)
     return len(paths)
