@@ -65,6 +65,11 @@ class Config:
     img_process_method: str = "cpu_v1"
 
     # --- memory bank / scoring ---------------------------------------------
+    # keep pass-1 train features in host RAM so the OCSVM-calibration pass
+    # skips dataset IO + backbone re-extraction (exact same scores; costs
+    # ~12 MB/sample for the dual method). The reference re-extracts
+    # (cmdiad_runner.py:57-65).
+    cache_train_features: bool = False
     f_coreset: float = 0.1
     coreset_eps: float = 0.9
     coreset_dtype: str = "FP16"  # 'FP16' | 'TF32' | 'FP32' (compute dtype of greedy loop)

@@ -148,6 +148,8 @@ class MemoryBankMethod:
         """
         cat = {n: np.concatenate(self._bank_acc[n], axis=0)
                for n in self.bank_names}
+        if self.cfg.cache_train_features:
+            self._train_cache = cat  # raw (un-normalised) pass-1 features
         stats_pairs = stats_pairs or {n: (n, n) for n in self.bank_names}
         if self.fix_cross_stats:
             stats_pairs = {n: (n, n) for n in self.bank_names}

@@ -76,6 +76,40 @@ class BatchedScoresMixin:
             self._record_prediction(s_vec[i], maps[i], batch["gt"][i],
                                     batch["label"][i], batch["rgb_path"][i])
 
+    # ---- cached late fusion (cfg.cache_train_features) ---------------------
+    def supports_cached_late_fusion(self) -> bool:
+        return getattr(self, "_train_cache", None) is not None
+
+    def run_late_fusion_from_cache(self, batch_size: int = 8):
+        """OCSVM-calibration pass straight from the pass-1 feature cache —
+        no dataset IO, no backbone re-extraction (scores are identical to
+        the re-extraction path because queries are normalised from the same
+        stored stats)."""
+        mods = self._batch_modalities()
+        # tokens per sample: rgb_patch is the ViT grid, xyz_patch the 56² splat
+        g = self.backbone.vit_config.grid
+        tokens = {"rgb_patch": g * g, "xyz_patch": 56 * 56}
+        first_key = mods[0][1]
+        n_samples = (self._train_cache[mods[0][0]].shape[0]
+                     // tokens[first_key])
+
+        for start in range(0, n_samples, batch_size):
+            stop = min(start + batch_size, n_samples)
+            s_cols, m_cols = [], []
+            for bank_name, key, lam_s, lam_m in mods:
+                t = tokens[key]
+                feats = self._train_cache[bank_name][start * t: stop * t]
+                patches = jnp.asarray(feats.reshape(stop - start, t, -1))
+                s, m = self.score_patch_batch(patches, bank_name)
+                s_cols.append(lam_s * np.asarray(s))
+                m_cols.append(lam_m * np.asarray(m))
+            s_vec = np.stack(s_cols, axis=1)
+            maps = np.stack(m_cols, axis=1)
+            for i in range(stop - start):
+                self._push_late_fusion(s_vec[i], maps[i])
+        self._train_cache = None
+        self.run_late_fusion()
+
 
 class RGBMethod(BatchedScoresMixin, MemoryBankMethod):
     bank_names = ("rgb",)

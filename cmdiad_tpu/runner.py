@@ -55,10 +55,14 @@ class CMDIADRunner:
         self.timings["coreset_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        for batch in stack_batches(
-                iter_samples(ds, max_samples=self.cfg.max_sample), bs):
-            self.method.add_batch_to_late_fusion_mem_bank(batch)
-        self.method.run_late_fusion()
+        if getattr(self.method, "supports_cached_late_fusion",
+                   lambda: False)():
+            self.method.run_late_fusion_from_cache(batch_size=max(bs, 8))
+        else:
+            for batch in stack_batches(
+                    iter_samples(ds, max_samples=self.cfg.max_sample), bs):
+                self.method.add_batch_to_late_fusion_mem_bank(batch)
+            self.method.run_late_fusion()
         self.timings["late_fusion_s"] = time.perf_counter() - t0
 
     def evaluate(self, class_name: str) -> Dict[str, float]:

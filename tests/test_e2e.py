@@ -136,3 +136,12 @@ def test_mtfi_itof_hrnet_e2e(dataset_root):
     metrics = runner.evaluate("widget")
     for k in ("image_rocauc", "pixel_rocauc", "au_pro"):
         assert 0.0 <= metrics[k] <= 1.0
+
+
+def test_cached_late_fusion_matches_recompute(dataset_root):
+    """cache_train_features must yield identical metrics to re-extraction."""
+    m_re = _run(_cfg(method_name="DINO+Point_MAE"), dataset_root)
+    m_ca = _run(_cfg(method_name="DINO+Point_MAE", cache_train_features=True),
+                dataset_root)
+    for k in m_re:
+        assert abs(m_re[k] - m_ca[k]) < 1e-9, (k, m_re, m_ca)
