@@ -50,14 +50,15 @@ def _run(cfg, dataset_root):
     return runner.evaluate("widget")
 
 
-@pytest.mark.parametrize("method", ["DINO", "Point_MAE", "DINO+Point_MAE"])
+@pytest.mark.parametrize("method", ["DINO", "Point_MAE", "DINO+Point_MAE",
+                                    "Depth"])
 def test_plain_methods_e2e(dataset_root, method):
     metrics = _run(_cfg(method_name=method), dataset_root)
     for k in ("image_rocauc", "pixel_rocauc", "au_pro", "au_pro_001"):
         assert 0.0 <= metrics[k] <= 1.0, (k, metrics)
     # synthetic dents are blatant depth anomalies: the pipeline must beat
     # chance convincingly at the pixel level with random backbones already
-    if method != "DINO":
+    if method not in ("DINO",):
         assert metrics["pixel_rocauc"] > 0.5, metrics
 
 
