@@ -62,7 +62,6 @@ class Config:
     gt_size: int = 224
     max_sample: int = 500
     train_with_validation: bool = False
-    img_process_method: str = "cpu_v1"
 
     # --- memory bank / scoring ---------------------------------------------
     # keep pass-1 train features in host RAM so the OCSVM-calibration pass

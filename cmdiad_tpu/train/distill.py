@@ -337,11 +337,14 @@ class DistillTrainer:
             for epoch in range(self.start_epoch, cfg.epochs):
                 t0 = time.perf_counter()
                 losses = []
+                aux_acc: Dict[str, list] = {}
                 for batch in self._batches(self.arrays, rng, cfg.batch_size):
                     (self.params, self.batch_stats, self.opt_state, loss,
                      aux) = self._step(self.params, self.batch_stats,
                                        self.opt_state, batch)
                     losses.append(loss)
+                    for k, v in aux.items():  # per-direction loss components
+                        aux_acc.setdefault(k, []).append(v)
                 train_loss = float(jnp.mean(jnp.stack(losses)))
                 if not math.isfinite(train_loss):
                     raise FloatingPointError(
@@ -350,17 +353,29 @@ class DistillTrainer:
                 history["train_loss"].append(train_loss)
 
                 test_losses = []
+                test_aux_acc: Dict[str, list] = {}
                 for batch in self._batches(self.test_arrays, None,
                                            cfg.batch_size, drop_last=False):
-                    loss, _ = self._eval(self.params, self.batch_stats, batch)
+                    loss, aux = self._eval(self.params, self.batch_stats, batch)
                     test_losses.append(float(loss))
+                    for k, v in aux.items():
+                        if k != "batch_stats":
+                            test_aux_acc.setdefault(k, []).append(float(v))
                 test_loss = float(np.mean(test_losses)) if test_losses else float("nan")
                 history["test_loss"].append(test_loss)
                 log.info("epoch %d: train %.4f test %.4f (%.1fs)", epoch,
                          train_loss, test_loss, time.perf_counter() - t0)
-                self._log_metrics({"epoch": epoch, "train_loss": train_loss,
-                                   "test_loss": test_loss,
-                                   "epoch_s": time.perf_counter() - t0})
+                # per-direction components (loss_xyz / loss_rgb) logged
+                # separately, matching the reference's per-loss TensorBoard
+                # scalars (hallucination_network_pretrain.py:124-142,310-316)
+                record = {"epoch": epoch, "train_loss": train_loss,
+                          "test_loss": test_loss,
+                          "epoch_s": time.perf_counter() - t0}
+                for k, vals in aux_acc.items():
+                    record[f"train_{k}"] = float(jnp.mean(jnp.stack(vals)))
+                for k, vals in test_aux_acc.items():
+                    record[f"test_{k}"] = float(np.mean(vals))
+                self._log_metrics(record)
 
                 if (epoch + 1) % cfg.save_every == 0:
                     self._save(epoch)
