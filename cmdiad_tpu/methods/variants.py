@@ -306,22 +306,41 @@ class HallucinationMethod(MemoryBankMethod):
 
     bank_names = ("rgb", "xyz", "fusion")
 
+    # ---- jitted fusion dispatchers (lazily built, keyed on the method) ----
+    def _fusion_apply_jit(self):
+        fn = getattr(self, "_fusion_jit", None)
+        if fn is None:
+            import jax
+
+            def apply(variables, feat, out_type=None):
+                if out_type is None:            # HRNet / FtoI image nets
+                    return self.fusion.apply(variables, feat)
+                return self.fusion.apply(variables, feat, out_type,
+                                         method="generate")
+            fn = jax.jit(apply, static_argnums=(2,))
+            self._fusion_jit = fn
+        return fn
+
     def _hallucinate(self, sample, out):
-        """-> (1, N, 768) hallucinated features of the *other* modality."""
+        """-> (B, N, D) hallucinated features of the *other* modality.
+
+        Batch-transparent: ``sample``/``out`` may hold one sample or a whole
+        loader batch; every fusion net is applied once per call through a
+        jitted dispatcher (no per-op eager dispatch behind the tunnel).
+        """
         cfg = self.cfg
         if cfg.use_hrnet:
             img = sample["rgb"] if cfg.main_modality == "rgb" else sample["organized_pc"]
             img = jnp.asarray(np.asarray(img)[None] if np.asarray(img).ndim == 3
                               else np.asarray(img))
-            grid = self.fusion.apply(self.fusion_vars, img)     # (1,56,56,768)
+            grid = self._fusion_apply_jit()(self.fusion_vars, img)  # (B,56,56,D)
             return grid.reshape(grid.shape[0], -1, grid.shape[-1])
         if cfg.use_hn or cfg.use_hn_conv:
             if cfg.main_modality == "rgb":
                 feat, out_type = out["rgb_patch2"], "xyz"
             else:
                 feat, out_type = out["xyz_patch"], "rgb"
-            return self.fusion.apply(self.fusion_vars, feat, out_type,
-                                     method="generate")
+            return self._fusion_apply_jit()(self.fusion_vars, feat, out_type)
         raise ValueError("no fusion flavour configured")
 
     def _main_keys(self):
@@ -354,10 +373,18 @@ class HallucinationMethod(MemoryBankMethod):
             place_names=(main, "fusion"))
 
     def _inference_extract(self, sample):
-        """Extract using ONLY the main modality (true few-modal inference)."""
+        """Extract using ONLY the main modality (true few-modal inference).
+
+        Batch-transparent (sample or loader batch).  For the xyz main the
+        loader's precompacted point set is forwarded when present — exactly
+        equivalent, much cheaper FPS/KNN.
+        """
         if self.cfg.main_modality == "rgb":
             return self.extract({"rgb": sample["rgb"]})
-        return self.extract({"organized_pc": sample["organized_pc"]})
+        sub = {"organized_pc": sample["organized_pc"]}
+        if "points_compact" in sample:
+            sub["points_compact"] = sample["points_compact"]
+        return self.extract(sub)
 
     def _scores(self, sample):
         out = self._inference_extract(sample)
@@ -378,6 +405,43 @@ class HallucinationMethod(MemoryBankMethod):
         s_vec, s_maps = self._scores(sample)
         self._record_prediction(s_vec, s_maps, mask, label, rgb_path)
 
+    # ---- batched paths (one dispatch per batch per program, replacing the
+    # per-sample fallback; mirrors BatchedScoresMixin for the MTFI methods,
+    # reference predict loops multiple_features.py:312-797) ----------------
+    def add_batch_to_mem_bank(self, batch, class_name=None):
+        self.class_name = class_name
+        n = batch["_n"]
+        out = self.extract(batch)
+        hall = self._hall(batch, out)
+        for name, arr in (("rgb", out["rgb_patch"]),
+                          ("xyz", out["xyz_patch"]), ("fusion", hall)):
+            a = np.asarray(arr[:n])
+            self._bank_acc[name].append(a.reshape(-1, a.shape[-1]))
+
+    def _scores_batch(self, batch):
+        out = self._inference_extract(batch)
+        hall = self._hall(batch, out)
+        main, key, lam_s, lam_m = self._main_keys()
+        s_m, m_m = self.score_patch_batch(out[key], main)
+        s_f, m_f = self.score_patch_batch(hall, "fusion")
+        c = self.cfg
+        s_vec = np.stack([lam_s * np.asarray(s_m),
+                          c.fusion_s_lambda * np.asarray(s_f)], axis=1)
+        maps = np.stack([lam_m * np.asarray(m_m),
+                         c.fusion_smap_lambda * np.asarray(m_f)], axis=1)
+        return s_vec, maps
+
+    def add_batch_to_late_fusion_mem_bank(self, batch):
+        s_vec, maps = self._scores_batch(batch)
+        for i in range(batch["_n"]):
+            self._push_late_fusion(s_vec[i], maps[i])
+
+    def predict_batch(self, batch):
+        s_vec, maps = self._scores_batch(batch)
+        for i in range(batch["_n"]):
+            self._record_prediction(s_vec[i], maps[i], batch["gt"][i],
+                                    batch["label"][i], batch["rgb_path"][i])
+
 
 class HallucinationFromFeatureMethod(HallucinationMethod):
     """FtoI: hallucinate the missing *raw input* and re-encode it through the
@@ -396,13 +460,13 @@ class HallucinationFromFeatureMethod(HallucinationMethod):
             # loader-capacity compaction would silently drop points; feed the
             # full point list as the precompacted set (exact, reference
             # re-encodes every nonzero point, multiple_features.py:591-596).
-            pc_img = np.asarray(self.fusion.apply(self.fusion_vars,
-                                                  out["rgb_patch2"]))
+            pc_img = np.asarray(self._fusion_apply_jit()(self.fusion_vars,
+                                                         out["rgb_patch2"]))
             full_pts = pc_img.reshape(pc_img.shape[0], -1, 3)
             pc_out = self.extract({"organized_pc": pc_img,
                                    "points_compact": full_pts})
             return pc_out["xyz_patch"]
         # xyz features -> rgb image -> ViT
-        rgb_img = self.fusion.apply(self.fusion_vars, out["xyz_patch"])
+        rgb_img = self._fusion_apply_jit()(self.fusion_vars, out["xyz_patch"])
         rgb_out = self.extract({"rgb": np.asarray(rgb_img)})
         return rgb_out["rgb_patch"]

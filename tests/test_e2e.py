@@ -62,29 +62,41 @@ def test_plain_methods_e2e(dataset_root, method):
         assert metrics["pixel_rocauc"] > 0.5, metrics
 
 
-def test_mtfi_ftof_e2e(dataset_root):
-    cfg = _cfg(method_name="WithHallucination", main_modality="xyz",
-               use_hn=True)
-    # FtoF MLP expects 768-dim features; small backbone is 32-dim -> the
-    # fusion net is built for the small dims via a custom fusion module.
+def _mtfi_ftof_run(dataset_root, **cfg_kw):
+    """FtoF MLP MTFI run with a fusion net sized for the small backbone
+    (FtoF MLP expects 768-dim features; small backbone is 32-dim)."""
     from cmdiad_tpu.models.hallucination import FtoFMlp
     import jax, jax.numpy as jnp
     from cmdiad_tpu.methods import registry as reg
+    cfg = _cfg(method_name="WithHallucination", main_modality="xyz",
+               use_hn=True, **cfg_kw).replace(dataset_path=dataset_root)
     bb = _small_backbone()
-    cfg2 = cfg.replace(dataset_path=dataset_root)
     net = FtoFMlp(32, 32)
     fusion_vars = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32)),
                            jnp.zeros((1, 4, 32)))
     method = reg._METHODS["WithHallucination"](
-        cfg2, bb, bb.init_params(0), fusion=net, fusion_vars=fusion_vars)
+        cfg, bb, bb.init_params(0), fusion=net, fusion_vars=fusion_vars)
     runner = CMDIADRunner.__new__(CMDIADRunner)
-    runner.cfg = cfg2
+    runner.cfg = cfg
     runner.method = method
     runner.timings = {}
     runner.fit("widget")
-    metrics = runner.evaluate("widget")
+    return runner.evaluate("widget")
+
+
+def test_mtfi_ftof_e2e(dataset_root):
+    metrics = _mtfi_ftof_run(dataset_root)
     for k in ("image_rocauc", "pixel_rocauc", "au_pro"):
         assert 0.0 <= metrics[k] <= 1.0
+
+
+def test_mtfi_batched_eval_matches_batch1(dataset_root):
+    """MTFI batch_size=3 must match batch_size=1 (the batched extract +
+    hallucinate + dual-bank scoring path vs the per-sample one)."""
+    m1 = _mtfi_ftof_run(dataset_root, batch_size=1)
+    m3 = _mtfi_ftof_run(dataset_root, batch_size=3)
+    for k in m1:
+        assert abs(m1[k] - m3[k]) < 5e-3, (k, m1, m3)
 
 
 def test_feature_dumping(dataset_root, tmp_path):
