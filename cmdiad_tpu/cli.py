@@ -60,19 +60,21 @@ def _config_from_args(args, dc_type):
 def cmd_detect(args) -> None:
     import pandas as pd
     from cmdiad_tpu.data.mvtec3d import mvtec3d_classes, eyecandies_classes
-    from cmdiad_tpu.runner import CMDIADRunner
+    from cmdiad_tpu.runner import run_detection
 
     cfg = _config_from_args(args, Config).validate()
     classes = ([cfg.class_name] if cfg.class_name else
                (eyecandies_classes() if cfg.dataset_type == "eyecandies"
                 else mvtec3d_classes()))
 
+    # one shared backbone/params/fusion for the whole class loop: programs
+    # trace once, not per class (unlike reference main.py:22-32), and the
+    # next class's host IO is pipelined under device compute
+    results = run_detection(cfg, classes)
+
     tables = {k: {} for k in ("image_rocauc", "pixel_rocauc", "au_pro",
                               "au_pro_001")}
-    for cls in classes:
-        runner = CMDIADRunner(cfg)
-        runner.fit(cls)
-        metrics = runner.evaluate(cls)
+    for cls, metrics in results.items():
         for k in tables:
             tables[k][cls.title()] = round(metrics[k], 3)
 

@@ -62,6 +62,10 @@ class Config:
     gt_size: int = 224
     max_sample: int = 500
     train_with_validation: bool = False
+    # multi-class runs: decode class N+1's samples on a background thread
+    # while class N computes (runner.run_detection); costs host RAM
+    # (~1 MB/sample buffered for one class ahead)
+    preload_next_class: bool = True
 
     # --- memory bank / scoring ---------------------------------------------
     # keep pass-1 train features in host RAM so the OCSVM-calibration pass

@@ -107,6 +107,7 @@ class MemoryBankMethod:
 
     # ---------------- feature helpers ------------------------------------
     def _device_batch(self, sample: dict) -> dict:
+        mesh = self._dp_eval_mesh()
         out = {}
         for k, batched_ndim in (("rgb", 4), ("organized_pc", 4),
                                 ("depth3", 4), ("points_compact", 3)):
@@ -115,7 +116,14 @@ class MemoryBankMethod:
             if self.needed_keys is not None and k not in self.needed_keys:
                 continue
             v = np.asarray(sample[k])
-            out[k] = jnp.asarray(v[None] if v.ndim == batched_ndim - 1 else v)
+            arr = jnp.asarray(v[None] if v.ndim == batched_ndim - 1 else v)
+            if mesh is not None and arr.shape[0] % mesh.shape["data"] == 0:
+                # shard the batch over 'data' so feature extraction runs
+                # SPMD across the mesh, not just the scoring stage
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                spec = P("data", *([None] * (arr.ndim - 1)))
+                arr = jax.device_put(arr, NamedSharding(mesh, spec))
+            out[k] = arr
         return out
 
     def extract(self, sample: dict, rgb_key: str = "rgb",
@@ -179,20 +187,43 @@ class MemoryBankMethod:
                 pad_bank(jnp.asarray(bank, jnp.float32)))
         self._bank_acc = {n: [] for n in self.bank_names}
 
-    def _place_bank(self, bank: jnp.ndarray) -> jnp.ndarray:
-        """Optionally shard bank rows over the mesh (cfg.shard_bank)."""
-        if not self.cfg.shard_bank or len(jax.devices()) == 1:
-            return bank
-        from cmdiad_tpu.parallel.mesh import make_mesh, shard_rows
+    def _get_mesh(self):
+        """Mesh for multi-device eval: cfg.mesh_shape if set, else all
+        devices on a 'data' axis.  None when single-device."""
+        if len(jax.devices()) == 1:
+            return None
         if not hasattr(self, "_mesh"):
-            self._mesh = make_mesh((len(jax.devices()),), ("data",))
-        n_dev = self._mesh.shape["data"]
-        pad = (-bank.shape[0]) % n_dev
-        if pad:
-            from cmdiad_tpu.ops.scoring import PAD_VALUE
-            bank = jnp.concatenate(
-                [bank, jnp.full((pad, bank.shape[1]), PAD_VALUE, bank.dtype)])
-        return shard_rows(self._mesh, bank)
+            from cmdiad_tpu.parallel.mesh import make_mesh
+            shape = self.cfg.mesh_shape or (len(jax.devices()),)
+            self._mesh = make_mesh(tuple(shape), ("data",))
+        return self._mesh
+
+    def _dp_eval_mesh(self):
+        """Mesh for data-parallel eval (explicitly requested via
+        cfg.mesh_shape; bank-sharded scoring takes precedence)."""
+        if not self.cfg.mesh_shape or self.cfg.shard_bank:
+            return None
+        return self._get_mesh()
+
+    def _place_bank(self, bank: jnp.ndarray) -> jnp.ndarray:
+        """Shard bank rows over the mesh (cfg.shard_bank), or replicate the
+        bank across it for data-parallel eval (cfg.mesh_shape)."""
+        if self.cfg.shard_bank and len(jax.devices()) > 1:
+            from cmdiad_tpu.parallel.mesh import shard_rows
+            mesh = self._get_mesh()
+            n_dev = mesh.shape["data"]
+            pad = (-bank.shape[0]) % n_dev
+            if pad:
+                from cmdiad_tpu.ops.scoring import PAD_VALUE
+                bank = jnp.concatenate(
+                    [bank,
+                     jnp.full((pad, bank.shape[1]), PAD_VALUE, bank.dtype)])
+            return shard_rows(mesh, bank)
+        mesh = self._dp_eval_mesh()
+        if mesh is not None:
+            from cmdiad_tpu.parallel.mesh import replicate
+            return replicate(mesh, bank)
+        return bank
 
     # ---------------- scoring ---------------------------------------------
     def _chunk(self):
@@ -214,15 +245,34 @@ class MemoryBankMethod:
         return s, s_map
 
     def score_patch_batch(self, patches, bank_name: str):
-        """patches (B, Np, D) -> (s (B,), s_map (B, gt, gt)) in one dispatch."""
+        """patches (B, Np, D) -> (s (B,), s_map (B, gt, gt)) in one dispatch.
+
+        With cfg.mesh_shape set, samples are sharded over the mesh 'data'
+        axis against the replicated bank (data-parallel eval — the
+        multi-chip scaling axis the reference's batch-1 loop leaves unused,
+        SURVEY.md §2.4); results are bit-identical to single-device.
+        """
         side = int(np.sqrt(patches.shape[1]))
         mean, std = self.stats[bank_name]
-        return _score_batch(
+        mesh = self._dp_eval_mesh()
+        b = patches.shape[0]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = mesh.shape["data"]
+            pad = (-b) % n_dev
+            if pad:  # keep the batch mesh-divisible; padded rows sliced off
+                patches = jnp.concatenate(
+                    [patches, jnp.broadcast_to(patches[:1],
+                                               (pad,) + patches.shape[1:])])
+            patches = jax.device_put(
+                patches, NamedSharding(mesh, P("data", None, None)))
+        s, s_map = _score_batch(
             patches, self.banks[bank_name], jnp.float32(mean),
             jnp.float32(std), jnp.int32(self.bank_sizes[bank_name]),
             feat_hw=(side, side),
             out_size=self.cfg.gt_size, metric=self.cfg.dist_method_s,
             n_reweight=self.cfg.n_reweight, chunk=self._chunk())
+        return s[:b], s_map[:b]
 
     # ---------------- late fusion ------------------------------------------
     def _push_late_fusion(self, s_vec: np.ndarray, s_maps: np.ndarray):

@@ -95,30 +95,42 @@ def load_backbone_params(cfg: Config, backbone: DualBackbone):
     return params
 
 
+def build_backbone(cfg: Config) -> DualBackbone:
+    """Construct the DualBackbone for a config (no params).
+
+    Build this ONCE per process and share it across classes/runners: the
+    jitted extraction programs are trace-cached keyed on the backbone
+    instance, so a fresh backbone per class would re-trace everything
+    (reference main.py:22-32 pays the analogous per-class model rebuild).
+    """
+    pm_config = None
+    if cfg.xyz_backbone_name == "tiny":
+        from cmdiad_tpu.models.point_mae import PointMAEConfig
+        pm_config = PointMAEConfig(
+            num_group=cfg.num_group, group_size=cfg.group_size,
+            encoder_dims=16, trans_dim=16, depth=2, num_heads=2,
+            fetch_idx=(0, 1))
+    elif cfg.xyz_backbone_name == "Point_Bert":
+        # reference models/models.py:31-33: encoder_dims=256 flavour
+        from cmdiad_tpu.models.point_mae import PointMAEConfig
+        pm_config = PointMAEConfig(
+            num_group=cfg.num_group, group_size=cfg.group_size,
+            encoder_dims=256)
+    return DualBackbone(
+        rgb_backbone_name=cfg.rgb_backbone_name,
+        num_group=cfg.num_group, group_size=cfg.group_size,
+        compute_dtype=cfg.compute_dtype, use_pallas=cfg.use_pallas,
+        image_size=cfg.rgb_size, pm_config=pm_config)
+
+
 def build_method(cfg: Config, backbone: Optional[DualBackbone] = None,
-                 params=None):
+                 params=None, fusion=None, fusion_vars=None):
     cfg = cfg.validate()
     if backbone is None:
-        pm_config = None
-        if cfg.xyz_backbone_name == "tiny":
-            from cmdiad_tpu.models.point_mae import PointMAEConfig
-            pm_config = PointMAEConfig(
-                num_group=cfg.num_group, group_size=cfg.group_size,
-                encoder_dims=16, trans_dim=16, depth=2, num_heads=2,
-                fetch_idx=(0, 1))
-        elif cfg.xyz_backbone_name == "Point_Bert":
-            # reference models/models.py:31-33: encoder_dims=256 flavour
-            from cmdiad_tpu.models.point_mae import PointMAEConfig
-            pm_config = PointMAEConfig(
-                num_group=cfg.num_group, group_size=cfg.group_size,
-                encoder_dims=256)
-        backbone = DualBackbone(
-            rgb_backbone_name=cfg.rgb_backbone_name,
-            num_group=cfg.num_group, group_size=cfg.group_size,
-            compute_dtype=cfg.compute_dtype, use_pallas=cfg.use_pallas,
-            image_size=cfg.rgb_size, pm_config=pm_config)
+        backbone = build_backbone(cfg)
     if params is None:
         params = load_backbone_params(cfg, backbone)
-    fusion, fusion_vars = build_fusion(cfg, backbone)
+    if fusion is None:
+        fusion, fusion_vars = build_fusion(cfg, backbone)
     cls = _METHODS[cfg.method_name]
     return cls(cfg, backbone, params, fusion=fusion, fusion_vars=fusion_vars)

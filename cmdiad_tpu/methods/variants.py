@@ -306,19 +306,25 @@ class HallucinationMethod(MemoryBankMethod):
 
     bank_names = ("rgb", "xyz", "fusion")
 
-    # ---- jitted fusion dispatchers (lazily built, keyed on the method) ----
+    # ---- jitted fusion dispatchers -----------------------------------------
+    # Cached at module level keyed on the (value-hashable) flax module so a
+    # fresh method per class reuses the traced programs instead of re-jitting
+    # (the per-class runner shares one fusion net across all 10 classes).
+    _FUSION_JIT_CACHE: dict = {}
+
     def _fusion_apply_jit(self):
-        fn = getattr(self, "_fusion_jit", None)
+        fusion = self.fusion
+        fn = self._FUSION_JIT_CACHE.get(fusion)
         if fn is None:
             import jax
 
             def apply(variables, feat, out_type=None):
                 if out_type is None:            # HRNet / FtoI image nets
-                    return self.fusion.apply(variables, feat)
-                return self.fusion.apply(variables, feat, out_type,
-                                         method="generate")
+                    return fusion.apply(variables, feat)
+                return fusion.apply(variables, feat, out_type,
+                                    method="generate")
             fn = jax.jit(apply, static_argnums=(2,))
-            self._fusion_jit = fn
+            self._FUSION_JIT_CACHE[fusion] = fn
         return fn
 
     def _hallucinate(self, sample, out):

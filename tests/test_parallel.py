@@ -67,6 +67,42 @@ def test_sharded_coreset_matches_dense(rng, mesh):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_e2e_dp_eval_matches_single_device(rng, tmp_path_factory):
+    """cfg.mesh_shape=(8,) (data-parallel eval: extraction + scoring sharded
+    over the mesh) must match the single-device run end to end."""
+    from cmdiad_tpu.config import Config
+    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+    from cmdiad_tpu.models.backbone import DualBackbone
+    from cmdiad_tpu.models.vit import ViTConfig
+    from cmdiad_tpu.models.point_mae import PointMAEConfig
+    from cmdiad_tpu.runner import CMDIADRunner
+
+    root = make_synthetic_dataset(
+        str(tmp_path_factory.mktemp("synth_dp")), size=64, n_train=5,
+        n_test_good=2, n_test_bad=3)
+    bb = DualBackbone(
+        vit_config=ViTConfig(img_size=64, patch_size=8, embed_dim=32,
+                             depth=2, num_heads=2),
+        pm_config=PointMAEConfig(num_group=32, group_size=16, encoder_dims=16,
+                                 trans_dim=16, depth=2, num_heads=2,
+                                 fetch_idx=(0, 1)),
+        use_pallas=False, image_size=64)
+    params = bb.init_params(0)
+
+    def run(mesh_shape):
+        cfg = Config(method_name="DINO+Point_MAE", dataset_path=root,
+                     rgb_size=64, xyz_size=64, gt_size=64, f_coreset=0.5,
+                     max_sample=10, batch_size=8, mesh_shape=mesh_shape)
+        r = CMDIADRunner(cfg, backbone=bb, params=params)
+        r.fit("widget")
+        return r.evaluate("widget")
+
+    m1 = run(())
+    m8 = run((8,))
+    for k in m1:
+        assert abs(m1[k] - m8[k]) < 5e-3, (k, m1, m8)
+
+
 def test_e2e_sharded_bank_scoring(rng, tmp_path_factory):
     """Full Point_MAE method with shard_bank=True matches replicated banks."""
     from cmdiad_tpu.config import Config
