@@ -22,17 +22,17 @@ SIZE = 64
 def dataset_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("synth")
     return make_synthetic_dataset(str(root), size=SIZE, n_train=5,
-                                  n_test_good=2, n_test_bad=3)
+                                  n_test_good=2, n_test_bad=3, n_test_color=3)
 
 
-def _small_backbone():
+def _small_backbone(compute_dtype="float32"):
     return DualBackbone(
         vit_config=ViTConfig(img_size=SIZE, patch_size=8, embed_dim=32,
                              depth=2, num_heads=2),
         pm_config=PointMAEConfig(num_group=32, group_size=16, encoder_dims=16,
                                  trans_dim=16, depth=2, num_heads=2,
                                  fetch_idx=(0, 1)),
-        use_pallas=False, image_size=SIZE)
+        use_pallas=False, image_size=SIZE, compute_dtype=compute_dtype)
 
 
 def _cfg(**kw):
@@ -44,7 +44,7 @@ def _cfg(**kw):
 
 def _run(cfg, dataset_root):
     cfg = cfg.replace(dataset_path=dataset_root)
-    bb = _small_backbone()
+    bb = _small_backbone(cfg.compute_dtype)
     runner = CMDIADRunner(cfg, backbone=bb, params=bb.init_params(0))
     runner.fit("widget")
     return runner.evaluate("widget")
@@ -56,10 +56,11 @@ def test_plain_methods_e2e(dataset_root, method):
     metrics = _run(_cfg(method_name=method), dataset_root)
     for k in ("image_rocauc", "pixel_rocauc", "au_pro", "au_pro_001"):
         assert 0.0 <= metrics[k] <= 1.0, (k, metrics)
-    # synthetic dents are blatant depth anomalies: the pipeline must beat
-    # chance convincingly at the pixel level with random backbones already
-    if method not in ("DINO",):
-        assert metrics["pixel_rocauc"] > 0.5, metrics
+    # synthetic dents (depth) and color blotches (RGB) are blatant anomalies:
+    # every pipeline must beat chance at the pixel level with random
+    # backbones already — the blotch class gives the RGB-only path a defect
+    # only it can see (depth methods ride on the dents instead)
+    assert metrics["pixel_rocauc"] > 0.5, metrics
 
 
 def _mtfi_ftof_run(dataset_root, **cfg_kw):
@@ -149,6 +150,21 @@ def test_mtfi_itof_hrnet_e2e(dataset_root):
     metrics = runner.evaluate("widget")
     for k in ("image_rocauc", "pixel_rocauc", "au_pro"):
         assert 0.0 <= metrics[k] <= 1.0
+
+
+def test_bf16_end_metrics_close_to_fp32(dataset_root):
+    """bfloat16 backbone compute must not move the END metrics.
+
+    Module-level drift was bounded in round 1 (<5% feature error); this pins
+    the metric-level bound so compute_dtype='bfloat16' is a validated speed
+    mode (measured deltas: pixel 7e-4, AU-PRO 1.8e-3 on this fixture)."""
+    m32 = _run(_cfg(method_name="DINO+Point_MAE"), dataset_root)
+    m16 = _run(_cfg(method_name="DINO+Point_MAE",
+                    compute_dtype="bfloat16"), dataset_root)
+    assert abs(m32["pixel_rocauc"] - m16["pixel_rocauc"]) < 0.01, (m32, m16)
+    assert abs(m32["au_pro"] - m16["au_pro"]) < 0.01, (m32, m16)
+    # image AUROC granularity on 8 test images is 1/12 — one rank swap max
+    assert abs(m32["image_rocauc"] - m16["image_rocauc"]) <= 1 / 12 + 1e-9
 
 
 def test_cached_late_fusion_matches_recompute(dataset_root):
