@@ -11,12 +11,12 @@ kernel on the reference's zero-filtered point list:
     running distance for the argmax.
 
 Two implementations:
-  * ``_fps_single_jnp``    — lax.scan reference implementation (any backend);
-  * ``_fps_single_pallas`` — single-program Pallas TPU kernel that keeps the
-    point coordinates and the running min-distance vector resident in VMEM
-    for all G iterations (no HBM round-trips inside the sequential loop).
-    All per-iteration state updates are full-width VPU vector ops (one-hot
-    selects) — no dynamic scalar loads/stores.
+  * ``_fps_single_jnp``     — lax.scan reference implementation (any backend);
+  * ``_fps_batched_pallas`` — Pallas TPU kernel, one grid program per batch
+    instance, that keeps the point coordinates and the running min-distance
+    vector resident in VMEM for all G iterations (no HBM round-trips inside
+    the sequential loop).  All per-iteration state updates are full-width
+    VPU vector ops (one-hot selects) — no dynamic scalar loads/stores.
 """
 
 from __future__ import annotations
@@ -54,28 +54,33 @@ def _fps_single_jnp(points: jnp.ndarray, mask: jnp.ndarray, num_samples: int):
 
 def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, mind_in_ref,
                        idx_ref, mind_scratch):
-    """pts (3, P) f32 in VMEM (coords on sublanes, points on lanes) plus a
-    sublane-aligned (P, 8) row copy for O(1) dynamic coordinate fetch of the
-    selected point — one distance pass + one argmax per iteration.
+    """One grid program per batch instance (blocks carry a leading size-1
+    batch dim).  pts (1, 3, P) f32 in VMEM (coords on sublanes, points on
+    lanes) plus a sublane-aligned (1, P, 8) row copy for O(1) dynamic
+    coordinate fetch of the selected point — one distance pass + one argmax
+    per iteration.
 
     The seed (first valid point in scan order, pointnet2 semantics) is
-    derived in-kernel from the init min-dist vector (invalid lanes are -1),
-    keeping all inputs VMEM so the call is trivially vmappable.
+    derived in-kernel from the init min-dist vector (invalid lanes are -1).
+    Batching via the grid instead of vmap keeps VMEM at one instance's
+    footprint: vmapping a whole-array-block pallas_call stages EVERY
+    instance's operands in VMEM at once and OOMs its 16 MB scoped limit at
+    batch >= 4 with 32k-point sets.
     """
     lane_g = lax.broadcasted_iota(jnp.int32, (1, num_samples), 1)
-    mind0 = mind_in_ref[0, :]
+    mind0 = mind_in_ref[0, 0, :]
     mind_scratch[0, :] = mind0
-    idx_ref[0, :] = jnp.zeros((num_samples,), jnp.int32)
+    idx_ref[0, 0, :] = jnp.zeros((num_samples,), jnp.int32)
     # (Pallas argmax only lowers for f32 operands)
     start = jnp.argmax((mind0 >= 0.0).astype(jnp.float32)).astype(jnp.int32)
 
     def body(i, last_idx):
         # record the point selected at step i (one-hot vector write)
-        idx_ref[0, :] = jnp.where(lane_g[0] == i, last_idx, idx_ref[0, :])
-        row = rows_ref[pl.ds(last_idx, 1), :]                 # (1, 8)
-        d = ((pts_ref[0, :] - row[0, 0]) ** 2
-             + (pts_ref[1, :] - row[0, 1]) ** 2
-             + (pts_ref[2, :] - row[0, 2]) ** 2)
+        idx_ref[0, 0, :] = jnp.where(lane_g[0] == i, last_idx, idx_ref[0, 0, :])
+        row = rows_ref[0, pl.ds(last_idx, 1), :]              # (1, 8)
+        d = ((pts_ref[0, 0, :] - row[0, 0]) ** 2
+             + (pts_ref[0, 1, :] - row[0, 1]) ** 2
+             + (pts_ref[0, 2, :] - row[0, 2]) ** 2)
         prev = mind_scratch[0, :]
         new = jnp.where(prev >= 0.0, jnp.minimum(prev, d), prev)
         mind_scratch[0, :] = new
@@ -84,25 +89,42 @@ def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, mind_in_ref,
     lax.fori_loop(0, num_samples, body, start)
 
 
-def _fps_single_pallas(points: jnp.ndarray, mask: jnp.ndarray, num_samples: int):
-    P = points.shape[0]
-    pts_t = points.astype(jnp.float32).T                          # (3, P)
-    rows = jnp.pad(points.astype(jnp.float32), ((0, 0), (0, 5)))  # (P, 8)
-    init_min = jnp.where(mask, jnp.float32(1e10), jnp.float32(-1.0))[None, :]
+def _fps_batched_pallas(points: jnp.ndarray, mask: jnp.ndarray,
+                        num_samples: int):
+    """points (B, P, 3), mask (B, P) -> (B, G) int32, one grid step per
+    batch instance (VMEM holds a single instance at a time)."""
+    B, P, _ = points.shape
+    pts_t = points.astype(jnp.float32).transpose(0, 2, 1)         # (B, 3, P)
+    rows = jnp.pad(points.astype(jnp.float32),
+                   ((0, 0), (0, 0), (0, 5)))                      # (B, P, 8)
+    init_min = jnp.where(mask, jnp.float32(1e10),
+                         jnp.float32(-1.0))[:, None, :]           # (B, 1, P)
 
     idxs = pl.pallas_call(
         functools.partial(_fps_pallas_kernel, num_samples),
-        out_shape=jax.ShapeDtypeStruct((1, num_samples), jnp.int32),
+        grid=(B,),
+        out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # pts (3, P)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # rows (P, 8)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # init min-dist (1, P)
+            pl.BlockSpec((1, 3, P), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # pts (1, 3, P)
+            pl.BlockSpec((1, P, 8), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # rows (1, P, 8)
+            pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # init min-dist (1, 1, P)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, num_samples), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
+        # Mosaic's default scoped-VMEM budget is 16 MiB — far below the
+        # 128 MiB physical VMEM of a v5e core.  The (P, 8) row copy costs
+        # ~8 MiB of stack per in-flight instance at P=32768, so batch >= 4
+        # needs the real budget.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(pts_t, rows, init_min)
-    return idxs[0]
+    return idxs[:, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "use_pallas"))
@@ -118,8 +140,11 @@ def farthest_point_sample(points: jnp.ndarray, mask: jnp.ndarray,
     Returns:
       centers (B, G, 3) float32, center_idx (B, G) int32.
     """
-    single = _fps_single_pallas if use_pallas else _fps_single_jnp
-    idxs = jax.vmap(lambda p, m: single(p, m, num_samples))(points, mask)
+    if use_pallas:
+        idxs = _fps_batched_pallas(points, mask, num_samples)
+    else:
+        idxs = jax.vmap(
+            lambda p, m: _fps_single_jnp(p, m, num_samples))(points, mask)
     centers = jnp.take_along_axis(
         points.astype(jnp.float32), idxs[..., None], axis=1)
     return centers, idxs

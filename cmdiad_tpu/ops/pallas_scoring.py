@@ -105,6 +105,12 @@ def bank_min_dist_pallas(patch: jnp.ndarray, bank: jnp.ndarray,
             pltpu.VMEM((1, nq), jnp.float32),
             pltpu.VMEM((1, nq), jnp.int32),
         ],
+        # Mosaic's default scoped-VMEM budget (16 MiB) is sized far below
+        # the 128 MiB physical VMEM of a v5e core; the whole-array patch
+        # block costs ~5 MiB per in-flight instance, so batched (vmapped)
+        # callers need the real budget.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(patch_p.T.astype(cdt), pnorm, bank.astype(cdt), bnorm)
 

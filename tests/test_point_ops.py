@@ -65,6 +65,21 @@ def test_fps_batched(rng):
     assert c.shape == (2, 8, 3) and i.shape == (2, 8)
 
 
+def test_fps_pallas_batched_matches_jnp(rng):
+    """The Pallas path batches via the grid (one program per instance;
+    vmapping whole-array blocks OOMed VMEM at batch >= 4 on real TPUs) —
+    every instance must still match the lax.scan implementation."""
+    batch = np.stack([_make_masked_points(rng, 256, n)[0]
+                      for n in (40, 100, 160, 200, 256)])
+    mask = np.asarray(masked.nonzero_point_mask(batch))
+    c_ref, i_ref = fps.farthest_point_sample(batch, mask, 16,
+                                             use_pallas=False)
+    c_pal, i_pal = fps.farthest_point_sample(batch, mask, 16,
+                                             use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_pal))
+    np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_pal))
+
+
 def test_knn_matches_numpy(rng):
     pts, _ = _make_masked_points(rng, p=300, n_valid=250)
     mask = np.asarray(masked.nonzero_point_mask(pts))
