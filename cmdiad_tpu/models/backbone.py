@@ -115,8 +115,14 @@ class DualBackbone:
         feats = self.point.apply(params["point"], work_pts, centers,
                                  ori_idx)                        # (B,G,768)
         interp = three_nn_interpolate(points, mask, centers,
-                                      feats.astype(jnp.float32))
-        grid = interp.reshape(b, h, w, -1)
+                                      feats.astype(jnp.float32),
+                                      compute_dtype=str(self.dtype))
+        # The (B, 224, 224, 768) splat grid is the biggest tensor in the
+        # pipeline (1.2 GB f32 at B=8) and the pooling chain over it is
+        # HBM-bound (incl. a pure layout copy XLA inserts before
+        # reduce_window).  In bfloat16 mode carry it at bf16 — halves that
+        # traffic; interpolation weights stay f32 above.
+        grid = interp.astype(self.dtype).reshape(b, h, w, -1)
         pooled = avg_pool_3x3_valid(grid)                        # (B,222,222,C)
         xyz_patch = adaptive_avg_pool(pooled, 56).reshape(b, 56 * 56, -1)
         out = {

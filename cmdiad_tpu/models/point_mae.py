@@ -143,9 +143,13 @@ class PointBlock(nn.Module):
                        dtype=self.dtype)(y)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # f32-accumulated scores stored in the compute dtype (halves the
+        # block's HBM-dominant (b, h, n, n) traffic at bf16); softmax still
+        # reduces in f32 — see models/vit.py Attention for the rationale.
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+                          preferred_element_type=jnp.float32
+                          ).astype(self.dtype)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
         x = x + nn.Dense(self.dim, name="attn_proj", dtype=self.dtype)(out)
         y = nn.LayerNorm(epsilon=self.ln_eps, name="norm2", dtype=self.dtype)(x)

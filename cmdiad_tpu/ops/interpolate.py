@@ -24,7 +24,8 @@ from cmdiad_tpu.ops.knn import pairwise_sqdist
 
 
 def three_nn_interpolate(points: jnp.ndarray, mask: jnp.ndarray,
-                         centers: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
+                         centers: jnp.ndarray, feats: jnp.ndarray,
+                         compute_dtype: str = "float32") -> jnp.ndarray:
     """IDW-interpolate center features onto all (masked) points.
 
     Args:
@@ -32,9 +33,18 @@ def three_nn_interpolate(points: jnp.ndarray, mask: jnp.ndarray,
       mask:    (B, P) validity.
       centers: (B, G, 3) sampled centers.
       feats:   (B, G, D) per-center features.
+      compute_dtype: dtype of the weight x feature contraction in the fused
+        kernel path (distances/weights stay f32); the jnp path is f32-only.
     Returns:
       (B, P, D) interpolated features; zero rows where mask is False.
     """
+    # Production shapes route through the fused Pallas kernel: the (P, G)
+    # distance matrix (205 MB/img at P=50176) never reaches HBM there.
+    if (jax.default_backend() == "tpu"
+            and centers.shape[1] % 128 == 0 and feats.shape[2] % 128 == 0):
+        from cmdiad_tpu.ops.pallas_interp import three_nn_interpolate_pallas
+        return three_nn_interpolate_pallas(points, mask, centers, feats,
+                                           compute_dtype=compute_dtype)
     d = pairwise_sqdist(points.astype(jnp.float32), centers.astype(jnp.float32))
     # 3 nearest centers per point by iterative min-extraction — exact, three
     # cheap VPU passes instead of a per-row sort (lax.top_k at these shapes

@@ -124,6 +124,25 @@ def test_three_nn_interpolate_matches_numpy(rng):
     assert np.abs(out[~mask]).max() == 0.0
 
 
+def test_three_nn_interpolate_pallas_matches_jnp(rng):
+    """The fused kernel (used at production G/D multiples of 128) must match
+    the jnp path, including masked rows, padding tails and tie-breaks."""
+    import jax.numpy as jnp
+    from cmdiad_tpu.ops.pallas_interp import three_nn_interpolate_pallas
+    b, p, g, d = 2, 300, 128, 128  # p deliberately not a tile multiple
+    pts = np.stack([_make_masked_points(rng, p, n)[0] for n in (150, 300)])
+    mask = np.asarray(masked.nonzero_point_mask(pts))
+    centers = rng.normal(size=(b, g, 3)).astype(np.float32) + 5.0
+    feats = rng.normal(size=(b, g, d)).astype(np.float32)
+    want = np.asarray(interpolate.three_nn_interpolate(
+        pts, mask, centers, feats))
+    got = np.asarray(three_nn_interpolate_pallas(
+        jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+        jnp.asarray(feats)))
+    # kernel dot vs einsum accumulate in different orders (fp32 noise only)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
 def test_compact_points_preserves_fps_knn(rng):
     """Compaction must leave FPS selections and KNN sets exactly unchanged."""
     import jax.numpy as jnp
