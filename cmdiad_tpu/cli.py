@@ -70,7 +70,14 @@ def cmd_detect(args) -> None:
     # one shared backbone/params/fusion for the whole class loop: programs
     # trace once, not per class (unlike reference main.py:22-32), and the
     # next class's host IO is pipelined under device compute
-    results = run_detection(cfg, classes)
+    if args.trace_dir:
+        from cmdiad_tpu.utils.profiling import device_trace
+        with device_trace(args.trace_dir):
+            results = run_detection(cfg, classes)
+        print(f"device trace written to {args.trace_dir} "
+              "(view with xprof/tensorboard)")
+    else:
+        results = run_detection(cfg, classes)
 
     tables = {k: {} for k in ("image_rocauc", "pixel_rocauc", "au_pro",
                               "au_pro_001")}
@@ -170,6 +177,8 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("detect", help="memory-bank detection / evaluation")
     _add_dataclass_args(p, Config)
+    p.add_argument("--trace_dir", default="",
+                   help="capture a jax.profiler device trace of the run")
     p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser("train", help="MTFI distillation training")
