@@ -32,7 +32,8 @@ from cmdiad_tpu.models.point_mae import (
     PointTransformer, PointMAEConfig, group_points)
 from cmdiad_tpu.ops.masked import nonzero_point_mask
 from cmdiad_tpu.ops.interpolate import three_nn_interpolate
-from cmdiad_tpu.ops.pooling import avg_pool_3x3_valid, adaptive_avg_pool
+from cmdiad_tpu.ops.pooling import (avg3x3_then_adaptive_pool,
+                                    adaptive_avg_pool)
 
 
 class DualBackbone:
@@ -114,17 +115,19 @@ class DualBackbone:
             self.pm_config.group_size, use_pallas=self.use_pallas)
         feats = self.point.apply(params["point"], work_pts, centers,
                                  ori_idx)                        # (B,G,768)
+        # The (B, 224, 224, 768) splat grid is the biggest tensor in the
+        # pipeline (1.2 GB f32 at B=8): the interp kernel emits it directly
+        # in the compute dtype (bf16 halves its HBM traffic) and the
+        # 3x3-valid + adaptive pooling chain over it runs as one fused
+        # separable matmul pair (no 222² intermediate, no layout copy).
+        # Interpolation distances/weights stay f32 inside the kernel.
+        dt_name = jnp.dtype(self.dtype).name
         interp = three_nn_interpolate(points, mask, centers,
                                       feats.astype(jnp.float32),
-                                      compute_dtype=str(self.dtype))
-        # The (B, 224, 224, 768) splat grid is the biggest tensor in the
-        # pipeline (1.2 GB f32 at B=8) and the pooling chain over it is
-        # HBM-bound (incl. a pure layout copy XLA inserts before
-        # reduce_window).  In bfloat16 mode carry it at bf16 — halves that
-        # traffic; interpolation weights stay f32 above.
-        grid = interp.astype(self.dtype).reshape(b, h, w, -1)
-        pooled = avg_pool_3x3_valid(grid)                        # (B,222,222,C)
-        xyz_patch = adaptive_avg_pool(pooled, 56).reshape(b, 56 * 56, -1)
+                                      compute_dtype=dt_name,
+                                      out_dtype=dt_name)
+        grid = interp.reshape(b, h, w, -1)
+        xyz_patch = avg3x3_then_adaptive_pool(grid, 56).reshape(b, 56 * 56, -1)
         out = {
             "xyz_patch": xyz_patch.astype(jnp.float32),
             "centers": centers, "ori_idx": ori_idx,
@@ -132,7 +135,7 @@ class DualBackbone:
             "group_feats": feats.astype(jnp.float32),
         }
         if with_2828:
-            out["xyz_patch_2828"] = adaptive_avg_pool(pooled, 28).reshape(
+            out["xyz_patch_2828"] = avg3x3_then_adaptive_pool(grid, 28).reshape(
                 b, 28 * 28, -1).astype(jnp.float32)
         return out
 

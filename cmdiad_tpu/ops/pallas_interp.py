@@ -63,19 +63,23 @@ def _kernel(compute_dtype, ptsT_ref, pnorm_ref, c8_ref, cnorm_ref,
                           feats_ref[0].astype(compute_dtype),
                           dimension_numbers=(((0,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32)   # (T, D)
-    out_ref[0] = out * mask_ref[0].T
+    out_ref[0] = (out * mask_ref[0].T).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+@functools.partial(jax.jit, static_argnames=("compute_dtype",
+                                               "out_dtype"))
 def three_nn_interpolate_pallas(points: jnp.ndarray, mask: jnp.ndarray,
                                 centers: jnp.ndarray, feats: jnp.ndarray,
-                                compute_dtype: str = "float32"):
-    """Fused IDW 3-NN upsample: (B,P,3)+(B,G,3)+(B,G,D) -> (B,P,D) f32.
+                                compute_dtype: str = "float32",
+                                out_dtype: str = "float32"):
+    """Fused IDW 3-NN upsample: (B,P,3)+(B,G,3)+(B,G,D) -> (B,P,D).
 
     Requires G % 128 == 0 and D % 128 == 0 (production: 1024 / 768); the
     caller (ops.interpolate.three_nn_interpolate) falls back to the jnp
     path otherwise.  ``compute_dtype`` applies to the weight x feature
-    contraction only (distances/weights are always f32).
+    contraction only (distances/weights are always f32); ``out_dtype`` is
+    the storage dtype of the emitted splat (bf16 saves a separate full-pass
+    convert downstream).
     """
     B, P, _ = points.shape
     G = centers.shape[1]
@@ -114,7 +118,7 @@ def three_nn_interpolate_pallas(points: jnp.ndarray, mask: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, TILE_P, D), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Pp, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Pp, D), jnp.dtype(out_dtype)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -143,6 +143,29 @@ def avg_pool_3x3_valid(x: jnp.ndarray) -> jnp.ndarray:
     return w / 9.0
 
 
+@functools.lru_cache(maxsize=None)
+def _pool3x3_adaptive_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """1-D operator for AdaptiveAvgPool(n_in-2 -> n_out) ∘ 3-wide stride-1
+    VALID average — both pools are separable per axis, so the composition
+    is one (n_out, n_in) banded matrix per axis."""
+    a3 = np.zeros((n_in - 2, n_in), np.float32)
+    idx = np.arange(n_in - 2)
+    for t in range(3):
+        a3[idx, idx + t] = 1.0 / 3.0
+    return (_adaptive_avg_matrix(n_in - 2, n_out) @ a3).astype(np.float32)
+
+
+def avg3x3_then_adaptive_pool(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """``avg_pool_3x3_valid`` then ``adaptive_avg_pool(out_hw)`` fused into
+    ONE separable matmul pair: exactly the same linear map (up to fp
+    association), but the (H-2, W-2) intermediate — and the layout copy XLA
+    inserts in front of reduce_window — never materialise.  On the hot
+    xyz-splat path that intermediate is (B, 222, 222, 768)."""
+    oh, ow = (out_hw, out_hw) if isinstance(out_hw, int) else out_hw
+    return _apply_separable(x, _pool3x3_adaptive_matrix(x.shape[-3], oh),
+                            _pool3x3_adaptive_matrix(x.shape[-2], ow))
+
+
 def nearest_resize_np(a: np.ndarray, out_hw) -> np.ndarray:
     """Host-side torch-nearest resize for (H, W, C) numpy arrays (loader path).
 

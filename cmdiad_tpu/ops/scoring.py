@@ -171,10 +171,14 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
                   and bank.shape[0] % 1024 == 0 and bank.shape[0] >= 32768)
     if use_kernel:
         from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
-        min_val, _ = bank_min_dist_pallas(patch, bank)
+        # the kernel's running (min, argmin) update is one fused pass, so
+        # the argmin is free here — and saves re-deriving the top patch's
+        # nearest bank row below with a full-bank matvec (a whole extra
+        # 200 MB bank stream per sample at 65k rows)
+        min_val, min_idx = bank_min_dist_pallas(patch, bank)
     else:
-        min_val, _ = bank_min_dist(patch, bank, metric, chunk,
-                                   with_argmin=False, n_valid=n_valid)
+        min_val, min_idx = bank_min_dist(patch, bank, metric, chunk,
+                                         with_argmin=False, n_valid=n_valid)
     s_idx = jnp.argmax(min_val)
     s_star = min_val[s_idx]
 
@@ -183,7 +187,13 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
                 else mask_padding_cols(row[None, :], n_valid)[0])
 
     m_test = patch[s_idx]
-    m_star = bank[jnp.argmin(_mask_row(cdist(m_test[None, :], bank, metric)[0]))]
+    if min_idx is not None:
+        m_star = bank[min_idx[s_idx]]
+    else:
+        # jnp path tracks no argmin (the per-chunk index reduce would cost
+        # as much as the min pass); one matvec re-derives it exactly
+        m_star = bank[jnp.argmin(_mask_row(cdist(m_test[None, :], bank,
+                                                 metric)[0]))]
     w_dist = _mask_row(cdist(m_star[None, :], bank, metric)[0])
     # n_reweight smallest by iterative min-extraction — lax.top_k over a
     # ~10^5-wide row lowers to a sort costing ~7 ms on v5e; three min/argmin

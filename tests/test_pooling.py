@@ -58,3 +58,16 @@ def test_avg_pool_3x3_valid(rng):
     ref = _back(torch.nn.AvgPool2d(3, stride=1)(_t(x)))
     assert ours.shape == (22, 22, 4)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_avg3x3_then_adaptive_fused_matches_sequential(rng):
+    """The fused separable operator must equal 3x3-valid avg followed by
+    torch adaptive pooling (the hot xyz-splat path uses it at 224 -> 56)."""
+    x = rng.normal(size=(2, 48, 48, 4)).astype(np.float32)
+    fused = np.asarray(pooling.avg3x3_then_adaptive_pool(x, 12))
+    seq = np.asarray(pooling.adaptive_avg_pool(
+        pooling.avg_pool_3x3_valid(x), 12))
+    ref = _back(torch.nn.AdaptiveAvgPool2d(12)(
+        torch.nn.AvgPool2d(3, stride=1)(_t(x.reshape(-1, 48, 48, 4)[0]))))
+    np.testing.assert_allclose(fused, seq, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(fused[0], ref, rtol=1e-4, atol=1e-5)
