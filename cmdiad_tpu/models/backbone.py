@@ -125,7 +125,8 @@ class DualBackbone:
         interp = three_nn_interpolate(points, mask, centers,
                                       feats.astype(jnp.float32),
                                       compute_dtype=dt_name,
-                                      out_dtype=dt_name)
+                                      out_dtype=dt_name,
+                                      use_pallas=self.use_pallas)
         grid = interp.reshape(b, h, w, -1)
         xyz_patch = avg3x3_then_adaptive_pool(grid, 56).reshape(b, 56 * 56, -1)
         out = {

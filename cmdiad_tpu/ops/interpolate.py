@@ -26,7 +26,8 @@ from cmdiad_tpu.ops.knn import pairwise_sqdist
 def three_nn_interpolate(points: jnp.ndarray, mask: jnp.ndarray,
                          centers: jnp.ndarray, feats: jnp.ndarray,
                          compute_dtype: str = "float32",
-                         out_dtype: str = "float32") -> jnp.ndarray:
+                         out_dtype: str = "float32",
+                         use_pallas: bool = True) -> jnp.ndarray:
     """IDW-interpolate center features onto all (masked) points.
 
     Args:
@@ -39,12 +40,14 @@ def three_nn_interpolate(points: jnp.ndarray, mask: jnp.ndarray,
       out_dtype: storage dtype of the result — emitting bf16 straight from
         the kernel saves a separate full-pass convert of the (B, P, D)
         splat (measured 0.35 ms/img at B=8).
+      use_pallas: route through the fused kernel (the config-level
+        ``use_pallas=False`` escape hatch forces the jnp path here too).
     Returns:
       (B, P, D) interpolated features; zero rows where mask is False.
     """
     # Production shapes route through the fused Pallas kernel: the (P, G)
     # distance matrix (205 MB/img at P=50176) never reaches HBM there.
-    if (jax.default_backend() == "tpu"
+    if (use_pallas and jax.default_backend() == "tpu"
             and centers.shape[1] % 128 == 0 and feats.shape[2] % 128 == 0):
         from cmdiad_tpu.ops.pallas_interp import three_nn_interpolate_pallas
         return three_nn_interpolate_pallas(points, mask, centers, feats,

@@ -157,15 +157,19 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
     Returns:
       s (scalar), s_map (out_size, out_size).
     """
-    # Per-patch argmin tracking inside the chunked min scan costs as much as
-    # the distance matmul itself (the VPU index-reduce doubles the pass), and
-    # the argmin is only ever needed for ONE patch (the most anomalous).
-    # Compute min values only, then re-derive that single patch's nearest
-    # bank row with one matvec — exact same result, ~2.3x faster at 65k rows.
     # l2 on TPU with a bucket-padded bank: use the fused streaming Pallas
     # kernel (ops.pallas_scoring) — the distance matrix never materialises.
     # Padding rows are value-far under l2, so no index masking is needed.
-    # (measured crossover: jnp wins below ~32k rows, the kernel above)
+    # (measured crossover: jnp wins below ~32k rows, the kernel above.)
+    # NOTE the kernel's (min, argmin) comes from its bf16 -2·q·bᵀ product:
+    # both s_star and the m_star choice below carry that ~0.4% relative
+    # error envelope even at compute_dtype=float32 — near-equidistant bank
+    # rows can flip m_star vs an exact f32 pass (accepted since round 1 for
+    # s_star; the argmin choice joined it when reuse made it free).
+    # On the jnp path, per-patch argmin tracking inside the chunked scan
+    # costs as much as the distance matmul itself (the VPU index-reduce
+    # doubles the pass) and is only needed for ONE patch, so min values
+    # only are computed there and m_star is re-derived exactly below.
     use_kernel = (metric == "l2" and chunk is not None
                   and jax.default_backend() == "tpu"
                   and bank.shape[0] % 1024 == 0 and bank.shape[0] >= 32768)
