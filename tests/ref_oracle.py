@@ -72,3 +72,37 @@ def ref_import(modname: str):
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     return importlib.import_module(modname)
+
+
+def ref_import_features():
+    """Import the reference's ``feature_extractors.features`` module.
+
+    Its import chain needs CUDA-only packages that are absent here (cupy,
+    timm, knn_cuda, pointnet2_ops); they are stubbed as empty modules with
+    just the names the import statements touch — the scoring math under
+    test (``compute_single_s_s_map``/``calculate_dist`` l2 path) never
+    calls into any of them.
+    """
+    import types as _types
+
+    def _mod(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = _types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    cp = _mod("cupy", asarray=lambda x: x)
+    _mod("cupyx")
+    _mod("cupyx.scipy")
+    spatial = _mod("cupyx.scipy.spatial", distance=_types.SimpleNamespace())
+    sys.modules["cupyx.scipy.spatial.distance"] = spatial.distance
+    timm = _mod("timm", create_model=None)
+    layers = _mod("timm.models.layers", DropPath=object)
+    _mod("timm.models", layers=layers)
+    timm.models = sys.modules["timm.models"]
+    _mod("knn_cuda", KNN=object)
+    _mod("pointnet2_ops", pointnet2_utils=_types.SimpleNamespace())
+    return ref_import("feature_extractors.features")

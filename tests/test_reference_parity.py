@@ -278,3 +278,57 @@ def test_knn_gaussian_blur_parity(rng):
     err = np.abs(mine - ref_out)
     assert err.max() <= 3.0 / 255.0 * map_max, err.max()
     assert err.mean() <= 0.75 / 255.0 * map_max, err.mean()
+
+
+# ---------------------------------------------------------------------------
+# PatchCore scoring core  (features.py:225-297 compute_single_s_s_map)
+# ---------------------------------------------------------------------------
+
+def test_compute_single_s_s_map_parity(rng):
+    """ops.scoring.patchcore_score vs the reference's own scoring method.
+
+    The reference Features class cannot be constructed here (its __init__
+    builds the CUDA backbone stack), so a bare instance is materialised with
+    exactly the attributes compute_single_s_s_map touches: the bank, the
+    l2 calculate_dist config, n_reweight, gt_size and the real
+    KNNGaussianBlur.  This replaces the hand-written numpy eq.7 oracle as
+    the authority for the min-dist -> argmax -> eq.7 reweight -> bilinear ->
+    blur chain.
+    """
+    import types
+    from ref_oracle import ref_import_features
+    from cmdiad_tpu.ops.scoring import patchcore_score
+
+    feats_mod = ref_import_features()
+    uu = ref_import("utils.utils")
+
+    n_patch, d, n_bank = 196, 32, 600          # 14x14 feature grid
+    patch = rng.normal(size=(n_patch, d)).astype(np.float32)
+    bank = rng.normal(size=(n_bank, d)).astype(np.float32)
+    # make one patch clearly anomalous so argmax is stable across fp noise
+    patch[57] += 3.0
+
+    ref = feats_mod.Features.__new__(feats_mod.Features)
+    torch.nn.Module.__init__(ref)   # skip Features.__init__ (CUDA stack)
+    ref.patch_xyz_lib = _t(bank)
+    ref.n_reweight = 3
+    ref.gt_size = 224
+    ref.blur = uu.KNNGaussianBlur(4)
+    ref.args = types.SimpleNamespace(dist_method_s="l2")
+    dist = torch.cdist(_t(patch), ref.patch_xyz_lib)
+    s_ref, smap_ref = ref.compute_single_s_s_map(
+        _t(patch), dist, (14, 14), modal="xyz")
+    smap_ref = smap_ref.squeeze().numpy()
+
+    s, smap = patchcore_score(jnp.asarray(patch), jnp.asarray(bank),
+                              (14, 14))
+    s, smap = float(s), np.asarray(smap)
+
+    assert abs(s - float(s_ref)) <= 1e-4 * max(abs(float(s_ref)), 1.0)
+    # the reference blur path quantises to uint8 inside ToPILImage; our
+    # float path agrees within quantisation noise (same bound as
+    # test_knn_gaussian_blur_parity)
+    map_max = max(smap.max(), smap_ref.max())
+    err = np.abs(smap - smap_ref)
+    assert err.max() <= 3.0 / 255.0 * map_max, err.max()
+    assert err.mean() <= 0.75 / 255.0 * map_max, err.mean()
