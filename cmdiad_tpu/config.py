@@ -63,8 +63,9 @@ class Config:
     max_sample: int = 500
     train_with_validation: bool = False
     # multi-class runs: decode class N+1's samples on a background thread
-    # while class N computes (runner.run_detection); costs host RAM
-    # (~1 MB/sample buffered for one class ahead)
+    # while class N computes (runner.run_detection); costs host RAM — peak
+    # residency is TWO classes (class N's decoded samples plus class N+1
+    # filling), ~1 MB/sample at 224²
     preload_next_class: bool = True
 
     # --- memory bank / scoring ---------------------------------------------

@@ -59,6 +59,26 @@ def _score_batch(patches, bank, mean, std, n_valid, feat_hw, out_size, metric,
     return jax.vmap(one)(patches)
 
 
+@functools.lru_cache(maxsize=None)
+def _score_batch_sharded(mesh, feat_hw, out_size, metric, n_reweight, chunk):
+    """shard_map-wrapped ``_score_batch``: batch sharded over 'data', bank
+    and stats replicated, outputs gathered on the batch axis.  Needed
+    because GSPMD has no partitioning rule for the Mosaic bank-min kernel
+    the scoring program contains on TPU."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def g(patches, bank, mean, std, n_valid):
+        return _score_batch(patches, bank, mean, std, n_valid,
+                            feat_hw=feat_hw, out_size=out_size, metric=metric,
+                            n_reweight=n_reweight, chunk=chunk)
+
+    return jax.jit(shard_map(
+        g, mesh=mesh,
+        in_specs=(P("data"), P(), P(), P(), P()),
+        out_specs=(P("data"), P("data")), check_vma=False))
+
+
 class MemoryBankMethod:
     """Base: bank accumulation, coreset, scoring, late fusion, metrics."""
 
@@ -129,10 +149,56 @@ class MemoryBankMethod:
     def extract(self, sample: dict, rgb_key: str = "rgb",
                 with_2828: bool = False) -> dict:
         dev = self._device_batch(sample)
+        images = dev.get(rgb_key)
+        pc = dev.get("organized_pc")
+        compact = dev.get("points_compact")
+        mesh = self._dp_eval_mesh()
+        batch0 = next(iter(dev.values())).shape[0] if dev else 0
+        if (mesh is not None and dev
+                and batch0 % mesh.shape["data"] == 0):
+            return self._extract_sharded(mesh, images, pc, compact,
+                                         with_2828)
         return self.backbone.extract(
-            self.params, images=dev.get(rgb_key),
-            organized_pc=dev.get("organized_pc"), with_2828=with_2828,
-            compact_pts=dev.get("points_compact"))
+            self.params, images=images, organized_pc=pc,
+            with_2828=with_2828, compact_pts=compact)
+
+    def _extract_sharded(self, mesh, images, pc, compact, with_2828: bool):
+        """DP extraction under shard_map: every device runs the FULL
+        extraction program (including the Mosaic FPS/interp kernels, which
+        GSPMD cannot auto-partition — plain jit over sharded inputs would
+        either fail or silently replicate them) on its local batch shard;
+        there is no cross-device communication.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        flags = (images is not None, pc is not None, compact is not None)
+        args = [a for a in (images, pc, compact) if a is not None]
+        key = (id(mesh), flags, with_2828)
+        cache = getattr(self, "_sm_extract_cache", None)
+        if cache is None:
+            cache = self._sm_extract_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            backbone = self.backbone
+
+            def f(params, *xs):
+                it = iter(xs)
+                im = next(it) if flags[0] else None
+                p = next(it) if flags[1] else None
+                c = next(it) if flags[2] else None
+                return backbone.extract(params, images=im, organized_pc=p,
+                                        with_2828=with_2828, compact_pts=c)
+
+            pspec = jax.tree.map(lambda _: P(), self.params)
+            out_shape = jax.eval_shape(f, self.params, *args)
+            out_specs = jax.tree.map(lambda _: P("data"), out_shape)
+            fn = jax.jit(shard_map(
+                f, mesh=mesh,
+                in_specs=(pspec, *([P("data")] * len(args))),
+                out_specs=out_specs, check_vma=False))
+            cache[key] = fn
+        return fn(self.params, *args)
 
     # ---------------- bank building ---------------------------------------
     def _append(self, name: str, patch) -> None:
@@ -256,6 +322,11 @@ class MemoryBankMethod:
         mean, std = self.stats[bank_name]
         mesh = self._dp_eval_mesh()
         b = patches.shape[0]
+        static = dict(feat_hw=(side, side), out_size=self.cfg.gt_size,
+                      metric=self.cfg.dist_method_s,
+                      n_reweight=self.cfg.n_reweight, chunk=self._chunk())
+        args = (self.banks[bank_name], jnp.float32(mean), jnp.float32(std),
+                jnp.int32(self.bank_sizes[bank_name]))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             n_dev = mesh.shape["data"]
@@ -266,12 +337,13 @@ class MemoryBankMethod:
                                                (pad,) + patches.shape[1:])])
             patches = jax.device_put(
                 patches, NamedSharding(mesh, P("data", None, None)))
-        s, s_map = _score_batch(
-            patches, self.banks[bank_name], jnp.float32(mean),
-            jnp.float32(std), jnp.int32(self.bank_sizes[bank_name]),
-            feat_hw=(side, side),
-            out_size=self.cfg.gt_size, metric=self.cfg.dist_method_s,
-            n_reweight=self.cfg.n_reweight, chunk=self._chunk())
+            # shard_map (not plain jit): the scoring program can contain
+            # the Mosaic bank-min kernel, which GSPMD cannot partition —
+            # each device scores its local batch shard against the
+            # replicated bank, with zero collectives
+            s, s_map = _score_batch_sharded(mesh, **static)(patches, *args)
+        else:
+            s, s_map = _score_batch(patches, *args, **static)
         return s[:b], s_map[:b]
 
     # ---------------- late fusion ------------------------------------------

@@ -116,9 +116,10 @@ def _fps_batched_pallas(points: jnp.ndarray, mask: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
         # Mosaic's default scoped-VMEM budget is 16 MiB — far below the
-        # 128 MiB physical VMEM of a v5e core.  The (P, 8) row copy costs
-        # ~8 MiB of stack per in-flight instance at P=32768, so batch >= 4
-        # needs the real budget.
+        # 128 MiB physical VMEM of a v5e core.  The compiler reports ~8 MiB
+        # of scoped stack per in-flight instance at P=32768 (raw operand
+        # bytes are ~2.5 MiB; layout padding and pipeline buffers make up
+        # the rest), so batch >= 4 needs the real budget.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),

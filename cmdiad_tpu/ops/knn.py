@@ -48,8 +48,9 @@ def masked_knn(points: jnp.ndarray, mask: jnp.ndarray,
     whose compilation/runtime are pathological on v5e; approx_max_k's tiled
     partial reduction is ~1000x faster.  The downstream consumer (the
     Point-MAE group encoder) max-pools over the neighbourhood, so occasional
-    boundary-rank swaps in the neighbour *set* are inconsequential — and the
-    recall target is set to 0.99 of exact.
+    boundary-rank swaps in the neighbour *set* are inconsequential — the
+    recall target is 0.95 (~0.977 measured at these shapes; higher targets
+    inflate the aggregation pass cost ~7x).
     """
     if method == "auto":
         method = "approx" if jax.default_backend() == "tpu" else "exact"

@@ -147,15 +147,22 @@ def run_detection(cfg: Config, classes: List[str],
     results: Dict[str, Dict[str, float]] = {}
     pending: Optional[threading.Thread] = None
     box: Dict[str, Dict[str, List[dict]]] = {}
+    errors: Dict[str, BaseException] = {}
 
     def _preload(cls: str):
-        box[cls] = preload_class_samples(cfg, cls)
+        # a daemon thread would otherwise swallow IO errors and leave a
+        # confusing KeyError at box.pop(); record and fall back to streaming
+        try:
+            box[cls] = preload_class_samples(cfg, cls)
+        except BaseException as e:  # noqa: BLE001 — surfaced after join
+            errors[cls] = e
 
+    # Class 0 is NOT preloaded: decoding it synchronously up front would
+    # serialise the whole first class's IO before any device work, whereas
+    # streaming it keeps the loader's prefetch window overlapped with
+    # compute (and is all a single-class run ever does).  Preloading starts
+    # with class 1, under class 0's device time.
     data: Optional[Dict[str, List[dict]]] = None
-    if cfg.preload_next_class and classes:
-        _preload(classes[0])
-        data = box.pop(classes[0])
-
     for i, cls in enumerate(classes):
         if cfg.preload_next_class and i + 1 < len(classes):
             pending = threading.Thread(
@@ -171,7 +178,13 @@ def run_detection(cfg: Config, classes: List[str],
         if pending is not None:
             pending.join()
             pending = None
-            data = box.pop(classes[i + 1])
+            nxt = classes[i + 1]
+            if nxt in errors:
+                log.warning("preload of %r failed (%s); streaming it",
+                            nxt, errors.pop(nxt))
+                data = None
+            else:
+                data = box.pop(nxt)
         else:
             data = None
     return results
