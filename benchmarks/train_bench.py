@@ -111,8 +111,11 @@ def main():
     trace = "--trace" in sys.argv
     rows = [
         bench_method("HallucinationCrossModality", 16, "float32", trace),
+        bench_method("HallucinationCrossModality", 16, "bfloat16", False),
         bench_method("HallucinationCrossModalityConv", 16, "float32", False),
+        bench_method("HallucinationCrossModalityConv", 16, "bfloat16", False),
         bench_method("RGBInputToXYZFeatureHRNET", 16, "float32", False),
+        bench_method("RGBInputToXYZFeatureHRNET", 16, "bfloat16", False),
     ]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "train_bench.json")
