@@ -18,18 +18,15 @@ def test_tiff_lzw_packbits_decode(rng, tmp_path):
         np.testing.assert_array_equal(out, arr, err_msg=comp)
 
 
-def test_eyecandies_conversion(rng, tmp_path):
-    """Synthetic Eyecandies layout -> MVTec layout round trip."""
+def _build_synthetic_eyecandies(rng, src, size=512, n_train=2, n_test=2):
+    """Raw Eyecandies-layout tree (depth png + yaml + pose + rgb + mask);
+    test sample 1 carries a defect mask, the rest are good."""
     import yaml
     from PIL import Image
-    from cmdiad_tpu.preprocess.eyecandies import convert_dataset
 
-    src = tmp_path / "eye"
-    size = 512
-    for split in ("train", "test_public"):
+    for split, n in (("train", n_train), ("test_public", n_test)):
         d = src / "CandyCane" / split / "data"
         d.mkdir(parents=True)
-        n = 2
         for i in range(n):
             stem = str(i).zfill(3) if split == "train" else str(i).zfill(2)
             depth = (rng.uniform(0.3, 0.9, (size, size)) * 65535).astype(np.uint16)
@@ -41,12 +38,20 @@ def test_eyecandies_conversion(rng, tmp_path):
                 np.uint8)).save(d / f"{stem}_image_4.png")
             mask = np.zeros((size, size, 3), np.uint8)
             if split == "test_public" and i == 1:
-                mask[100:150, 100:150] = 255
+                mask[size // 5: size // 3, size // 5: size // 3] = 255
             Image.fromarray(mask).save(d / f"{stem}_mask.png")
             # pad the dir to the reference's 17-files-per-sample layout
             for j in range(12):
                 (d / f"{stem}_pad{j}.txt").write_text("x")
 
+
+def test_eyecandies_conversion(rng, tmp_path):
+    """Synthetic Eyecandies layout -> MVTec layout round trip."""
+    from cmdiad_tpu.preprocess.eyecandies import convert_dataset
+
+    size = 512
+    _build_synthetic_eyecandies(rng, tmp_path / "eye", size=size)
+    src = tmp_path / "eye"
     dst = tmp_path / "out"
     convert_dataset(str(src), str(dst))
     tiffs = sorted((dst / "CandyCane").rglob("*.tiff"))
@@ -54,6 +59,33 @@ def test_eyecandies_conversion(rng, tmp_path):
     pc = tiffio.imread(str(tiffs[0]))
     assert pc.shape == (size, size, 3) and pc.dtype == np.float32
     assert (dst / "CandyCane" / "test" / "bad" / "gt").exists()
+
+
+def test_eyecandies_converted_tree_detect_e2e(rng, tmp_path, capsys,
+                                              monkeypatch):
+    """The converter's output must run through the FULL detection CLI
+    (dataset_type=eyecandies): conversion -> loader -> banks -> coreset ->
+    OCSVM -> metrics, closing the Eyecandies loop end to end."""
+    from cmdiad_tpu.preprocess.eyecandies import convert_dataset
+    from cmdiad_tpu import cli
+
+    # the converter (like the reference, preprocessing_eyecandies.py) is
+    # hardwired to the real dataset's 512x512 depth maps
+    _build_synthetic_eyecandies(rng, tmp_path / "eye", size=512,
+                                n_train=3, n_test=3)
+    dst = tmp_path / "conv"
+    convert_dataset(str(tmp_path / "eye"), str(dst))
+    monkeypatch.chdir(tmp_path)
+    cli.main(["detect", "--method_name", "DINO",
+              "--rgb_backbone_name", "tiny", "--xyz_backbone_name", "tiny",
+              "--dataset_type", "eyecandies",
+              "--dataset_path", str(dst), "--class_name", "CandyCane",
+              "--rgb_size", "64", "--xyz_size", "64", "--gt_size", "64",
+              "--num_group", "32", "--group_size", "16",
+              "--f_coreset", "1.0", "--use_pallas", "false",
+              "--save_results", "false"])
+    out = capsys.readouterr().out
+    assert "image_rocauc" in out and "Candycane" in out
 
 
 def test_fix_cross_stats_flag(rng):
