@@ -74,14 +74,24 @@ def ref_import(modname: str):
     return importlib.import_module(modname)
 
 
-def ref_import_features():
-    """Import the reference's ``feature_extractors.features`` module.
+def _install_ref_dep_stubs() -> None:
+    """Register *functional* CPU-torch stubs for the reference's CUDA-only
+    imports (knn_cuda, pointnet2_ops, timm.DropPath, cupy).
 
-    Its import chain needs CUDA-only packages that are absent here (cupy,
-    timm, knn_cuda, pointnet2_ops); they are stubbed as empty modules with
-    just the names the import statements touch — the scoring math under
-    test (``compute_single_s_s_map``/``calculate_dist`` l2 path) never
-    calls into any of them.
+    They reproduce the exact semantics the reference relies on so that
+    ``models.models.PointTransformer`` — not just its import — works as a
+    differential oracle:
+
+      * ``knn_cuda.KNN(k, transpose_mode=True)`` called as ``knn(ref, query)``
+        returns (dist, idx) of shape (B, G, k), ascending by distance, idx
+        into ``ref`` (models/models.py:86,100 usage).
+      * ``pointnet2_ops.pointnet2_utils.furthest_point_sample(xyz, n)`` —
+        farthest-first selection seeded at index 0, running min squared
+        distance, int32 (B, n) (the CUDA kernel's documented algorithm).
+      * ``gather_operation(features (B,C,N), idx (B,n))`` -> (B, C, n).
+      * ``timm.models.layers.DropPath`` — identity (the reference only uses
+        it inside modules that are .eval() during inference, where the real
+        DropPath is an identity).
     """
     import types as _types
 
@@ -94,15 +104,74 @@ def ref_import_features():
         sys.modules[name] = m
         return m
 
-    cp = _mod("cupy", asarray=lambda x: x)
+    _mod("cupy", asarray=lambda x: x)
     _mod("cupyx")
     _mod("cupyx.scipy")
     spatial = _mod("cupyx.scipy.spatial", distance=_types.SimpleNamespace())
     sys.modules["cupyx.scipy.spatial.distance"] = spatial.distance
+
+    if "knn_cuda" in sys.modules:
+        return  # functional stubs already registered
+
+    import torch
+
+    class KNN:
+        def __init__(self, k, transpose_mode=True):
+            assert transpose_mode, "reference always passes transpose_mode=True"
+            self.k = k
+
+        def __call__(self, ref, query):
+            d = torch.cdist(query.float(), ref.float())
+            dist, idx = torch.topk(d, self.k, dim=-1, largest=False)
+            return dist, idx
+
+    def furthest_point_sample(xyz, npoint):
+        B, N, _ = xyz.shape
+        xyz = xyz.float()
+        idxs = torch.zeros(B, npoint, dtype=torch.int32)
+        min_d = torch.full((B, N), 1e10)
+        last = torch.zeros(B, dtype=torch.long)
+        for i in range(npoint):
+            idxs[:, i] = last.int()
+            p = xyz[torch.arange(B), last]                      # (B, 3)
+            d = ((xyz - p[:, None, :]) ** 2).sum(-1)            # (B, N)
+            min_d = torch.minimum(min_d, d)
+            last = min_d.argmax(dim=1)
+        return idxs
+
+    def gather_operation(features, idx):
+        B, C, _ = features.shape
+        g = idx.long()[:, None, :].expand(B, C, idx.shape[1])
+        return torch.gather(features, 2, g)
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
     timm = _mod("timm", create_model=None)
-    layers = _mod("timm.models.layers", DropPath=object)
+    layers = _mod("timm.models.layers", DropPath=DropPath)
     _mod("timm.models", layers=layers)
     timm.models = sys.modules["timm.models"]
-    _mod("knn_cuda", KNN=object)
-    _mod("pointnet2_ops", pointnet2_utils=_types.SimpleNamespace())
+    _mod("knn_cuda", KNN=KNN)
+    _mod("pointnet2_ops",
+         pointnet2_utils=_types.SimpleNamespace(
+             furthest_point_sample=furthest_point_sample,
+             gather_operation=gather_operation))
+
+
+def ref_import_models():
+    """Import the reference's ``models.models`` with runnable CUDA-op stubs,
+    making its ``PointTransformer``/``Group``/``Encoder`` executable oracles."""
+    _install_ref_dep_stubs()
+    return ref_import("models.models")
+
+
+def ref_import_features():
+    """Import the reference's ``feature_extractors.features`` module (same
+    stub set; the scoring math under test never reaches the CUDA ops)."""
+    _install_ref_dep_stubs()
     return ref_import("feature_extractors.features")
