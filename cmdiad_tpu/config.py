@@ -81,6 +81,11 @@ class Config:
     dist_method_coreset: str = "l2"
     random_state: Optional[int] = None  # SRP seed; None -> 0 (reference is nondeterministic here)
     n_reweight: int = 3
+    # Bit-exact replication of the reference's uint8-quantised score-map blur
+    # (ToPILImage mode-'L' -> Pillow integer box blur, utils/utils.py:71-83).
+    # Default off: the float blur is strictly more precise; turn on when
+    # comparing metrics against reference runs / converted checkpoints.
+    quantized_blur: bool = False
 
     # --- score fusion lambdas (main.py:114-133) ----------------------------
     xyz_s_lambda: float = 1.0

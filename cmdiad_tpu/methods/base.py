@@ -37,30 +37,33 @@ from cmdiad_tpu.ops.scoring import patchcore_score, pad_bank
 
 
 @functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
-                                             "n_reweight", "chunk"))
+                                             "n_reweight", "chunk",
+                                             "quantized_blur"))
 def _score_one(patch, bank, mean, std, n_valid, feat_hw, out_size, metric,
-               n_reweight, chunk=8192):
+               n_reweight, chunk=8192, quantized_blur=False):
     normed = (patch - mean) / std
     return patchcore_score(normed, bank, feat_hw, out_size=out_size,
                            metric=metric, n_reweight=n_reweight, chunk=chunk,
-                           n_valid=n_valid)
+                           n_valid=n_valid, quantized_blur=quantized_blur)
 
 
 @functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
-                                             "n_reweight", "chunk"))
+                                             "n_reweight", "chunk",
+                                             "quantized_blur"))
 def _score_batch(patches, bank, mean, std, n_valid, feat_hw, out_size, metric,
-                 n_reweight, chunk=8192):
+                 n_reweight, chunk=8192, quantized_blur=False):
     """vmapped per-sample scoring: (B, Np, D) -> ((B,), (B, out, out))."""
     def one(p):
         return patchcore_score((p - mean) / std, bank, feat_hw,
                                out_size=out_size, metric=metric,
                                n_reweight=n_reweight, chunk=chunk,
-                               n_valid=n_valid)
+                               n_valid=n_valid, quantized_blur=quantized_blur)
     return jax.vmap(one)(patches)
 
 
 @functools.lru_cache(maxsize=None)
-def _score_batch_sharded(mesh, feat_hw, out_size, metric, n_reweight, chunk):
+def _score_batch_sharded(mesh, feat_hw, out_size, metric, n_reweight, chunk,
+                         quantized_blur=False):
     """shard_map-wrapped ``_score_batch``: batch sharded over 'data', bank
     and stats replicated, outputs gathered on the batch axis.  Needed
     because GSPMD has no partitioning rule for the Mosaic bank-min kernel
@@ -71,7 +74,8 @@ def _score_batch_sharded(mesh, feat_hw, out_size, metric, n_reweight, chunk):
     def g(patches, bank, mean, std, n_valid):
         return _score_batch(patches, bank, mean, std, n_valid,
                             feat_hw=feat_hw, out_size=out_size, metric=metric,
-                            n_reweight=n_reweight, chunk=chunk)
+                            n_reweight=n_reweight, chunk=chunk,
+                            quantized_blur=quantized_blur)
 
     return jax.jit(shard_map(
         g, mesh=mesh,
@@ -103,6 +107,7 @@ class MemoryBankMethod:
         self._bank_acc: Dict[str, List[np.ndarray]] = {n: [] for n in self.bank_names}
         self.banks: Dict[str, jnp.ndarray] = {}
         self.bank_sizes: Dict[str, int] = {}  # true rows before pad_bank
+        self.coreset_idx: Dict[str, np.ndarray] = {}  # selected rows per bank
         self.stats: Dict[str, Tuple[float, float]] = {}
 
         self.detect_fuser = SGDOneClassSVM(
@@ -247,7 +252,8 @@ class MemoryBankMethod:
                     seed=self.cfg.random_state or 0,
                     metric=self.cfg.dist_method_coreset,
                     compute_dtype=self.cfg.coreset_dtype)
-                bank = bank[np.asarray(idx)]
+                self.coreset_idx[n] = np.asarray(idx)
+                bank = bank[self.coreset_idx[n]]
             self.bank_sizes[n] = bank.shape[0]
             self.banks[n] = self._place_bank(
                 pad_bank(jnp.asarray(bank, jnp.float32)))
@@ -307,7 +313,7 @@ class MemoryBankMethod:
             jnp.int32(self.bank_sizes[bank_name]),
             feat_hw=(side, side), out_size=self.cfg.gt_size,
             metric=self.cfg.dist_method_s, n_reweight=self.cfg.n_reweight,
-            chunk=self._chunk())
+            chunk=self._chunk(), quantized_blur=self.cfg.quantized_blur)
         return s, s_map
 
     def score_patch_batch(self, patches, bank_name: str):
@@ -324,7 +330,8 @@ class MemoryBankMethod:
         b = patches.shape[0]
         static = dict(feat_hw=(side, side), out_size=self.cfg.gt_size,
                       metric=self.cfg.dist_method_s,
-                      n_reweight=self.cfg.n_reweight, chunk=self._chunk())
+                      n_reweight=self.cfg.n_reweight, chunk=self._chunk(),
+                      quantized_blur=self.cfg.quantized_blur)
         args = (self.banks[bank_name], jnp.float32(mean), jnp.float32(std),
                 jnp.int32(self.bank_sizes[bank_name]))
         if mesh is not None:

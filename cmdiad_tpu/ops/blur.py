@@ -20,6 +20,7 @@ between passes for 'L' images; the float path has no such rounding).
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax.numpy as jnp
@@ -71,3 +72,85 @@ def knn_gaussian_blur(score_map: jnp.ndarray, radius: float = 4.0) -> jnp.ndarra
     mx = jnp.max(score_map)
     safe = jnp.where(mx == 0, 1.0, mx)
     return pil_gaussian_blur(score_map / safe, radius) * safe
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact quantised mode (reference checkpoint-parity eval)
+# ---------------------------------------------------------------------------
+#
+# The reference's KNNGaussianBlur (utils/utils.py:71-83) does NOT blur floats:
+# torchvision's ToPILImage with mode=None quantises the max-normalised map to
+# uint8 (``mul(255).byte()`` — truncation) and produces a mode-'L' image, so
+# Pillow runs its *integer* box-blur pipeline: per axis, three passes of a
+# moving-window sum scaled by 24.24 fixed-point weights, ROUNDED BACK TO UINT8
+# AFTER EVERY PASS (Pillow src/libImaging/BoxBlur.c: ImagingLineBoxBlur8 /
+# _gaussian_blur_radius).  AU-PRO/AUROC are rank statistics over these maps,
+# so reproducing the paper's numbers with converted checkpoints needs this
+# exact staircase, not the float blur above (which agrees only to ~3/255·max).
+#
+# The functions below replicate Pillow's integer math exactly (uint32
+# accumulators, truncating weight computation, (bulk + 2^23) >> 24 rounding,
+# horizontal passes first, then vertical) and are validated to ZERO tolerance
+# against the reference's own KNNGaussianBlur in
+# tests/test_reference_parity.py.
+
+def _pillow_box_params(radius: float, passes: int = 3):
+    """Pillow's _gaussian_blur_radius + per-pass fixed-point weights.
+
+    Returns (r, ww, fw): integer window radius, 24.24 fixed-point weight of
+    the 2r+1 full taps, and of each of the two fractional edge taps.
+    """
+    sigma2 = radius * radius / passes
+    big_l = math.sqrt(12.0 * sigma2 + 1.0)
+    l = math.floor((big_l - 1.0) / 2.0)
+    a = (2 * l + 1) * (l * (l + 1) - 3 * sigma2) / (
+        6 * (sigma2 - (l + 1) ** 2))
+    box_radius = l + a
+    r = int(box_radius)
+    # C: ww = (UINT32)((1 << 24) / (floatRadius * 2 + 1)) in float32
+    ww = int(np.float32(1 << 24) / np.float32(box_radius * 2 + 1))
+    fw = ((1 << 24) - (2 * r + 1) * ww) // 2
+    return r, ww, fw
+
+
+def _box_pass_u8(x: jnp.ndarray, r: int, ww: int, fw: int) -> jnp.ndarray:
+    """One Pillow box pass along the last axis of a (..., W) uint8 array."""
+    w = x.shape[-1]
+    x32 = x.astype(jnp.uint32)
+    left = jnp.repeat(x32[..., :1], r + 1, axis=-1)
+    right = jnp.repeat(x32[..., -1:], r + 1, axis=-1)
+    pad = jnp.concatenate([left, x32, right], axis=-1)
+    # window for out[i] = pad[i+1 .. i+2r+1]; far taps pad[i], pad[i+2r+2]
+    acc = pad[..., 1:1 + w]
+    for t in range(2, 2 * r + 2):
+        acc = acc + pad[..., t:t + w]
+    bulk = (acc * jnp.uint32(ww)
+            + (pad[..., 0:w] + pad[..., 2 * r + 2:2 * r + 2 + w])
+            * jnp.uint32(fw))
+    return ((bulk + jnp.uint32(1 << 23)) >> 24).astype(jnp.uint8)
+
+
+def pil_gaussian_blur_u8(img_u8: jnp.ndarray, radius: float = 4.0,
+                         passes: int = 3) -> jnp.ndarray:
+    """Pillow's GaussianBlur on a (..., H, W) uint8 ('L'-mode) image,
+    bit-exact: ``passes`` horizontal passes, then ``passes`` vertical."""
+    r, ww, fw = _pillow_box_params(radius, passes)
+    x = img_u8
+    for _ in range(passes):
+        x = _box_pass_u8(x, r, ww, fw)
+    x = jnp.swapaxes(x, -1, -2)
+    for _ in range(passes):
+        x = _box_pass_u8(x, r, ww, fw)
+    return jnp.swapaxes(x, -1, -2)
+
+
+def quantized_knn_gaussian_blur(score_map: jnp.ndarray,
+                                radius: float = 4.0) -> jnp.ndarray:
+    """Bit-exact reference KNNGaussianBlur: max-normalise, truncate to uint8
+    (ToPILImage mode-'L'), Pillow integer blur, /255, un-normalise."""
+    mx = jnp.max(score_map)
+    safe = jnp.where(mx == 0, jnp.float32(1.0), mx).astype(jnp.float32)
+    u8 = (score_map.astype(jnp.float32) / safe * jnp.float32(255.0)
+          ).astype(jnp.uint8)                       # trunc == .byte()
+    blurred = pil_gaussian_blur_u8(u8, radius)
+    return blurred.astype(jnp.float32) / jnp.float32(255.0) * safe

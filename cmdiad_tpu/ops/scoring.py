@@ -138,7 +138,8 @@ def bank_min_dist(patch: jnp.ndarray, bank: jnp.ndarray,
 def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
                     feat_hw, out_size: int = 224, metric: str = "l2",
                     n_reweight: int = 3, blur_radius: float = 4.0,
-                    chunk: int | None = 8192, n_valid=None):
+                    chunk: int | None = 8192, n_valid=None,
+                    quantized_blur: bool = False):
     """Image score + segmentation map for one sample against one bank.
 
     Mirrors ``Features.compute_single_s_s_map`` (features.py:225-297):
@@ -219,7 +220,12 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
     h, w_ = feat_hw
     s_map = min_val.reshape(h, w_)[..., None]
     s_map = bilinear_resize(s_map, (out_size, out_size))[..., 0]
-    s_map = knn_gaussian_blur(s_map, blur_radius)
+    if quantized_blur:
+        # bit-exact reference uint8 blur path (checkpoint-parity eval mode)
+        from cmdiad_tpu.ops.blur import quantized_knn_gaussian_blur
+        s_map = quantized_knn_gaussian_blur(s_map, blur_radius)
+    else:
+        s_map = knn_gaussian_blur(s_map, blur_radius)
     return s, s_map
 
 

@@ -109,6 +109,9 @@ def _install_ref_dep_stubs() -> None:
     _mod("cupyx.scipy")
     spatial = _mod("cupyx.scipy.spatial", distance=_types.SimpleNamespace())
     sys.modules["cupyx.scipy.spatial.distance"] = spatial.distance
+    # utils/mvtec3d_util.py imports tifffile at module scope; the tiff IO
+    # itself is never reached by any oracle path
+    _mod("tifffile", imread=None, imwrite=None)
 
     if "knn_cuda" in sys.modules:
         return  # functional stubs already registered

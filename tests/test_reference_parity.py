@@ -280,6 +280,24 @@ def test_knn_gaussian_blur_parity(rng):
     assert err.mean() <= 0.75 / 255.0 * map_max, err.mean()
 
 
+def test_quantized_knn_gaussian_blur_bit_exact(rng):
+    """quantized_knn_gaussian_blur reproduces the reference's uint8 path
+    (truncating ToPILImage + Pillow's fixed-point per-pass-rounded box blur)
+    to ZERO tolerance — the checkpoint-parity eval mode (cfg.quantized_blur).
+    """
+    uu = ref_import("utils.utils")
+    from cmdiad_tpu.ops.blur import quantized_knn_gaussian_blur
+
+    blur = uu.KNNGaussianBlur(4)
+    for i in range(3):
+        base = (np.random.default_rng(i).random((224, 224))
+                .astype(np.float32) * (3.0 + 5.0 * i))
+        base[40 + i:80, 60:100 + i] += 4.0 * (i + 1)
+        ref_out = blur(_t(base[None, None])).numpy()[0]
+        mine = np.asarray(quantized_knn_gaussian_blur(jnp.asarray(base)))
+        np.testing.assert_array_equal(mine, ref_out)
+
+
 # ---------------------------------------------------------------------------
 # PatchCore scoring core  (features.py:225-297 compute_single_s_s_map)
 # ---------------------------------------------------------------------------
