@@ -44,7 +44,8 @@ class DualBackbone:
                  compute_dtype: str = "float32", use_pallas: bool = True,
                  image_size: int = 224, vit_config: Optional[ViTConfig] = None,
                  pm_config: Optional[PointMAEConfig] = None,
-                 point_capacity: Optional[int] = 32768):
+                 point_capacity: Optional[int] = 32768,
+                 use_flash: bool = False):
         self.dtype = jnp.dtype(compute_dtype)
         self.vit_config = vit_config or VIT_CONFIGS[rgb_backbone_name]
         self.pm_config = pm_config or PointMAEConfig(num_group=num_group,
@@ -53,9 +54,17 @@ class DualBackbone:
         # grid has more cells than this (exactly equivalent, ~P/capacity x
         # faster sequential kernels); None disables
         self.point_capacity = point_capacity
-        self.vit = VisionTransformer(self.vit_config, dtype=self.dtype)
-        self.point = PointTransformer(self.pm_config, dtype=self.dtype)
+        # use_flash routes attention through the fused Pallas kernel
+        # (ops/flash_attn.py) — separate from use_pallas because its Mosaic
+        # compile cost is large (~30-60 s per program, one-time per shape
+        # with the persistent cache); the modules still fall back to einsums
+        # off-TPU at trace time
+        self.vit = VisionTransformer(self.vit_config, dtype=self.dtype,
+                                     use_flash=use_flash)
+        self.point = PointTransformer(self.pm_config, dtype=self.dtype,
+                                      use_flash=use_flash)
         self.use_pallas = use_pallas
+        self.use_flash = use_flash
         self.image_size = image_size
 
     # ---- init -------------------------------------------------------------

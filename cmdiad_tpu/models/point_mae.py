@@ -132,6 +132,7 @@ class PointBlock(nn.Module):
     qkv_bias: bool
     ln_eps: float
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -143,14 +144,11 @@ class PointBlock(nn.Module):
                        dtype=self.dtype)(y)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        # f32-accumulated scores stored in the compute dtype (halves the
-        # block's HBM-dominant (b, h, n, n) traffic at bf16); softmax still
-        # reduces in f32 — see models/vit.py Attention for the rationale.
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32
-                          ).astype(self.dtype)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        # fused softmax(qk^T)v on TPU (ops/flash_attn.py): the 1024-token
+        # blocks' (b, h, n, n) score tensors never reach HBM
+        from cmdiad_tpu.ops.flash_attn import fused_attention
+        out = fused_attention(q, k, v, scale,
+                              use_flash=self.use_flash).reshape(b, n, c)
         x = x + nn.Dense(self.dim, name="attn_proj", dtype=self.dtype)(out)
         y = nn.LayerNorm(epsilon=self.ln_eps, name="norm2", dtype=self.dtype)(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1",
@@ -172,6 +170,7 @@ class PointTransformer(nn.Module):
 
     config: PointMAEConfig = PointMAEConfig()
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, points, centers, idx):
@@ -205,6 +204,7 @@ class PointTransformer(nn.Module):
         for i in range(cfg.depth):
             x = PointBlock(cfg.trans_dim, cfg.num_heads, cfg.mlp_ratio,
                            cfg.qkv_bias, cfg.ln_eps, dtype=self.dtype,
+                           use_flash=self.use_flash,
                            name=f"blocks_{i}")(x + pos)
             if i in cfg.fetch_idx:
                 fetched.append(x)

@@ -9,11 +9,11 @@ multi-head self-attention blocks with 4x GELU MLPs, LayerNorm eps 1e-6,
 qkv_bias=True.  Weights convert from the timm checkpoint via
 ``models.convert.vit_from_timm``.
 
-TPU notes: attention is computed as plain einsums over a static 785-token
-sequence — XLA fuses softmax(QK^T)V fine at this size (no flash kernel
-needed; the whole forward is MXU-bound).  ``dtype`` selects the compute
-precision (bfloat16 for speed, float32 for checkpoint parity); parameters
-stay float32.
+TPU notes: attention routes through the fused Pallas kernel
+(ops/flash_attn.py) when ``use_flash`` — the (b, h, 785, 785) score tensors
+were the blocks' dominant HBM traffic — with an einsum fallback elsewhere.
+``dtype`` selects the compute precision (bfloat16 for speed, float32 for
+checkpoint parity); parameters stay float32.
 """
 
 from __future__ import annotations
@@ -67,6 +67,7 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -77,16 +78,11 @@ class Attention(nn.Module):
                        dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b,n,h,d)
-        # f32 accumulation, but STORE the (b, h, n, n) score/weight tensors
-        # in the compute dtype: at bf16 this halves the dominant HBM traffic
-        # of the block (236 MB f32 of scores at B=8) while the softmax
-        # itself still reduces in f32 (the astypes fuse into the matmul
-        # epilogue / reduction producer — no extra passes).
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32
-                          ).astype(self.dtype)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        # Fused (flash-style) softmax(qk^T)v on TPU — the (b, h, n, n)
+        # score tensors never reach HBM (ops/flash_attn.py); einsum fallback
+        # with f32 softmax elsewhere.
+        from cmdiad_tpu.ops.flash_attn import fused_attention
+        out = fused_attention(q, k, v, scale, use_flash=self.use_flash)
         out = out.reshape(b, n, c)
         return nn.Dense(self.dim, name="proj", dtype=self.dtype)(out)
 
@@ -111,6 +107,7 @@ class Block(nn.Module):
     ln_eps: float
     layer_scale: bool = False
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -123,7 +120,9 @@ class Block(nn.Module):
 
         y = nn.LayerNorm(epsilon=self.ln_eps, name="norm1", dtype=self.dtype)(x)
         x = x + scale("ls1", Attention(self.dim, self.num_heads, self.qkv_bias,
-                                       dtype=self.dtype, name="attn")(y))
+                                       dtype=self.dtype,
+                                       use_flash=self.use_flash,
+                                       name="attn")(y))
         y = nn.LayerNorm(epsilon=self.ln_eps, name="norm2", dtype=self.dtype)(x)
         x = x + scale("ls2", Mlp(int(self.dim * self.mlp_ratio), self.dim,
                                  dtype=self.dtype, name="mlp")(y))
@@ -135,6 +134,7 @@ class VisionTransformer(nn.Module):
 
     config: ViTConfig = ViTConfig()
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, images):
@@ -165,7 +165,8 @@ class VisionTransformer(nn.Module):
         for i in range(cfg.depth):
             x = Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
                       cfg.qkv_bias, cfg.ln_eps, layer_scale=cfg.layer_scale,
-                      dtype=self.dtype, name=f"blocks_{i}")(x)
+                      dtype=self.dtype, use_flash=self.use_flash,
+                      name=f"blocks_{i}")(x)
         x = nn.LayerNorm(epsilon=cfg.ln_eps, name="norm", dtype=self.dtype)(x)
         patches = x[:, n_prefix:]  # drop cls/registers (models/models.py:39,52)
         return patches.reshape(b, cfg.grid, cfg.grid, cfg.embed_dim)

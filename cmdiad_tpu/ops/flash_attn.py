@@ -1,0 +1,114 @@
+"""Fused multi-head self-attention (softmax(q·kᵀ)·v) Pallas kernel.
+
+Replaces the naive attention einsums in the two backbones (reference
+models/models.py:148-160): at the pipeline's sequence lengths (785 ViT
+tokens, 1024 point-group tokens) the (b, h, n, n) score/probability tensors
+are the dominant HBM traffic of every transformer block (~15-30 MB/img/layer
+at bf16) while the matmuls themselves are far from MXU-bound.
+
+TPU design (shaped by hard-won Mosaic-compile limits on this backend — see
+CLAUDE.md):
+  * grid (batch·head, n // block_q): scores for a 128-query block are a
+    (n_pad, block_q) tile — big whole-(n, n) tiles make Mosaic compile time
+    explode roughly linearly in tile vregs (28 s at (1024, 128) vs 356 s at
+    (1024, 1024) measured);
+  * scores are computed TRANSPOSED (keys on sublanes): the softmax max/sum
+    are sublane reductions (lane reductions over non-power-of-two lane
+    counts never finished compiling: n=384/896 hang, n=512 took 102 s);
+  * K/V block index maps ignore the query-block grid index, so Mosaic
+    fetches them once per (batch, head) and only the small q/o blocks move
+    per step — HBM traffic is one pass over q, k, v, o;
+  * everything is float32 in-kernel: ANY bf16 operand (dot input, convert,
+    or store) multiplies compile time ~10x at these 64-lane shapes
+    (measured 270 s vs 28 s) — the f32 matmul-rate penalty at d=64 is far
+    smaller than that, and the deleted score traffic dominates either way.
+
+Off-TPU (and with use_flash=False) an einsum fallback with identical math
+runs instead — also the path GSPMD-partitioned multi-chip programs use on
+CPU meshes; on TPU meshes the kernel runs inside shard_map like the other
+Mosaic kernels (methods/base.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+
+
+def _attn_kernel(n_valid: int, qt_ref, k_ref, v_ref, o_ref):
+    """One (batch·head, query-block): qt (1, d, bq), k/v (1, n_pad, d)."""
+    qt = qt_ref[0]                                           # (d, bq)
+    k = k_ref[0]                                             # (n_pad, d)
+    sT = jax.lax.dot_general(k, qt, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (n_pad, bq)
+    if n_valid < sT.shape[0]:
+        row = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
+        sT = jnp.where(row < n_valid, sT, -jnp.inf)
+    m = jnp.max(sT, axis=0, keepdims=True)                   # sublane reduce
+    p = jnp.exp(sT - m)
+    p = p / jnp.sum(p, axis=0, keepdims=True)
+    # contraction over keys = sublanes of both p and v (Aᵀ·B form)
+    o_ref[0] = jax.lax.dot_general(p, v_ref[0], (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32
+                                   ).astype(o_ref.dtype)
+
+
+def _flash_call(qt, k, v, n_valid: int):
+    """qt (BH, d, n_pad) f32, k/v (BH, n_pad, d) f32 -> (BH, n_pad, d) f32."""
+    bh, d, n_pad = qt.shape
+    assert n_pad % BLOCK_Q == 0, n_pad
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, n_valid),
+        grid=(bh, n_pad // BLOCK_Q),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, d, BLOCK_Q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(qt, k, v)
+
+
+def fused_attention(q, k, v, scale: float, use_flash: bool = True):
+    """Multi-head attention: q, k, v (B, N, H, D) -> (B, N, H, D).
+
+    Computes softmax((q·scale)·kᵀ)·v per head — the reference Attention
+    (models/models.py:148-160) without dropout (inference-only backbones).
+    ``use_flash`` routes to the Pallas kernel on TPU; anywhere else the
+    einsum fallback below runs (same math, f32 softmax).
+    """
+    b, n, h, d = q.shape
+    if not use_flash or jax.default_backend() != "tpu":
+        # f32-accumulated scores stored in the compute dtype (halves the
+        # block's HBM-dominant (b, h, n, n) traffic at bf16); softmax still
+        # reduces in f32.
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+    n_pad = -(-n // BLOCK_Q) * BLOCK_Q
+
+    def to_heads(x):
+        x = x.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(b * h, n, d)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    qt = to_heads(q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1)
+    o = _flash_call(qt, to_heads(k), to_heads(v), n)
+    return (o[:, :n].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+            .astype(q.dtype))
