@@ -303,11 +303,37 @@ class MemoryBankMethod:
         # keeps the matmul shard-local; chunk-scan otherwise
         return None if self.cfg.shard_bank and len(jax.devices()) > 1 else 8192
 
+    def _sharded_scoring(self, bank_name: str, side: int):
+        """shard_map'd kernel-speed scoring for row-sharded banks, or None.
+
+        cos_dist keeps the GSPMD dense path (_chunk() -> None): PAD_VALUE
+        rows are only value-far under l2/l1, and the shard_map min pass does
+        no index masking.
+        """
+        if (not self.cfg.shard_bank or len(jax.devices()) <= 1
+                or self.cfg.dist_method_s == "cos_dist"):
+            return None
+        from cmdiad_tpu.parallel.eval import (sharded_score_batch_fn,
+                                              _use_scoring_kernel)
+        mesh = self._get_mesh()
+        local = self.banks[bank_name].shape[0] // mesh.shape["data"]
+        return sharded_score_batch_fn(
+            mesh, (side, side), self.cfg.gt_size, self.cfg.dist_method_s,
+            self.cfg.n_reweight,
+            _use_scoring_kernel(local, self.cfg.dist_method_s),
+            self.cfg.quantized_blur)
+
     def score_patch(self, patch, bank_name: str):
         """patch (1, Np, D) or (Np, D) -> (s scalar, s_map (gt, gt) np)."""
         p = patch[0] if patch.ndim == 3 else patch
         side = int(np.sqrt(p.shape[0]))
         mean, std = self.stats[bank_name]
+        sharded = self._sharded_scoring(bank_name, side)
+        if sharded is not None:
+            s, s_map = sharded(
+                p[None], self.banks[bank_name], jnp.float32(mean),
+                jnp.float32(std), jnp.int32(self.bank_sizes[bank_name]))
+            return s[0], s_map[0]
         s, s_map = _score_one(
             p, self.banks[bank_name], jnp.float32(mean), jnp.float32(std),
             jnp.int32(self.bank_sizes[bank_name]),
@@ -326,6 +352,11 @@ class MemoryBankMethod:
         """
         side = int(np.sqrt(patches.shape[1]))
         mean, std = self.stats[bank_name]
+        sharded = self._sharded_scoring(bank_name, side)
+        if sharded is not None:
+            return sharded(
+                patches, self.banks[bank_name], jnp.float32(mean),
+                jnp.float32(std), jnp.int32(self.bank_sizes[bank_name]))
         mesh = self._dp_eval_mesh()
         b = patches.shape[0]
         static = dict(feat_hw=(side, side), out_size=self.cfg.gt_size,

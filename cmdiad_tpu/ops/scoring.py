@@ -184,6 +184,25 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
     else:
         min_val, min_idx = bank_min_dist(patch, bank, metric, chunk,
                                          with_argmin=False, n_valid=n_valid)
+    return patchcore_finish(patch, bank, min_val, min_idx, feat_hw,
+                            out_size=out_size, metric=metric,
+                            n_reweight=n_reweight, blur_radius=blur_radius,
+                            n_valid=n_valid, quantized_blur=quantized_blur)
+
+
+def patchcore_finish(patch, bank, min_val, min_idx, feat_hw,
+                     out_size: int = 224, metric: str = "l2",
+                     n_reweight: int = 3, blur_radius: float = 4.0,
+                     n_valid=None, quantized_blur: bool = False):
+    """Everything downstream of the bank min-distance pass: eq.7 reweight,
+    bilinear upsample and blur.  Split out so callers with their own
+    min-distance computation (the shard_map'd sharded-bank kernel path,
+    parallel/eval.py) reuse the identical tail; ``min_idx=None`` re-derives
+    the top patch's bank NN exactly with one matvec.
+
+    All bank touches here are one-row gathers and single matvecs — under a
+    row-sharded bank GSPMD partitions them shard-local (no Mosaic involved).
+    """
     s_idx = jnp.argmax(min_val)
     s_star = min_val[s_idx]
 

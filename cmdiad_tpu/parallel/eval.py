@@ -20,9 +20,10 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cmdiad_tpu.ops.scoring import patchcore_score, cdist
+from cmdiad_tpu.ops.scoring import patchcore_score, patchcore_finish, cdist
 
 
 def dp_score_batch(mesh: Mesh, patches: jnp.ndarray, bank: jnp.ndarray,
@@ -50,20 +51,109 @@ def dp_score_batch(mesh: Mesh, patches: jnp.ndarray, bank: jnp.ndarray,
         return score(patches, bank, feat_hw, out_size, metric, n_reweight)
 
 
+def _use_scoring_kernel(local_rows: int, metric: str) -> bool:
+    """Route each shard's local pass through the Mosaic streaming kernel?
+    Same gate as the single-device path (ops/scoring.py): l2 on TPU with
+    1024-aligned rows above the measured ~32k-row jnp/kernel crossover."""
+    return (metric == "l2" and jax.default_backend() == "tpu"
+            and local_rows % 1024 == 0 and local_rows >= 32768)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_min_fn(mesh: Mesh, batched: bool, metric: str, use_kernel: bool):
+    """shard_map'd (min, argmin) over a row-sharded bank.
+
+    GSPMD has no partitioning rule for Mosaic custom calls, so the sharded-
+    bank regime — the exact regime banks are too big for one chip and the
+    streaming kernel matters most — previously fell back to a dense
+    HBM-materialised distance matrix.  Under shard_map each device runs the
+    kernel on its LOCAL bank shard (one bank stream at ~99% bf16 peak), then
+    a tiny (n_dev, Np) all-gather + min picks the global winner; ties break
+    to the lowest shard, matching jnp.argmin's first-occurrence rule.
+
+    Returns a shard_map-wrapped callable (patch, bank_local) usable inside
+    jit: patch replicated (Np, D) or (B, Np, D), bank rows P('data').
+    """
+    from jax import shard_map
+
+    def body(patch, bank_local):
+        shard = lax.axis_index("data")
+        local_rows = bank_local.shape[0]
+
+        def one(p):
+            if use_kernel:
+                from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
+                return bank_min_dist_pallas(p, bank_local)
+            d = cdist(p, bank_local, metric)
+            return jnp.min(d, axis=1), jnp.argmin(d, axis=1).astype(jnp.int32)
+
+        if batched:
+            # sequential over samples: each kernel call already streams the
+            # whole local shard; vmapping a whole-array-BlockSpec pallas_call
+            # would stage every sample's operands in VMEM at once
+            mv, mi = lax.map(one, patch)
+        else:
+            mv, mi = one(patch)
+        mi = mi + shard * local_rows
+        all_v = lax.all_gather(mv, "data")          # (n_dev, [B,] Np)
+        all_i = lax.all_gather(mi, "data")
+        k = jnp.argmin(all_v, axis=0)
+        return (jnp.take_along_axis(all_v, k[None], axis=0)[0],
+                jnp.take_along_axis(all_i, k[None], axis=0)[0])
+
+    return shard_map(body, mesh=mesh,
+                     in_specs=(P(), P("data", None)),
+                     out_specs=(P(), P()), check_vma=False)
+
+
 def sharded_bank_min_dist(mesh: Mesh, patch: jnp.ndarray, bank: jnp.ndarray,
                           metric: str = "l2"):
     """(min distance, argmin) over a row-sharded bank.
 
     bank rows are sharded over the 'data' axis; the patch is replicated.
-    XLA inserts the cross-shard min/argmin all-reduce.
+    Each device reduces its own shard (via the streaming Mosaic kernel when
+    ``_use_scoring_kernel`` — see ``_sharded_min_fn``), then one all-gather
+    combines the per-shard winners.
     """
+    n_dev = mesh.shape["data"]
+    assert bank.shape[0] % n_dev == 0, (bank.shape, n_dev)
     patch = jax.device_put(patch, NamedSharding(mesh, P()))
     bank = jax.device_put(bank, NamedSharding(mesh, P("data", None)))
-
-    @jax.jit
-    def f(patch, bank):
-        d = cdist(patch, bank, metric)
-        return jnp.min(d, axis=1), jnp.argmin(d, axis=1).astype(jnp.int32)
-
+    fn = _sharded_min_fn(mesh, patch.ndim == 3, metric,
+                         _use_scoring_kernel(bank.shape[0] // n_dev, metric))
     with mesh:
-        return f(patch, bank)
+        return jax.jit(fn)(patch, bank)
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_score_batch_fn(mesh: Mesh, feat_hw, out_size: int, metric: str,
+                           n_reweight: int, use_kernel: bool,
+                           quantized_blur: bool = False):
+    """Batched patchcore scoring against a row-sharded bank, kernel-speed.
+
+    One jitted program: the bank min-distance pass runs per shard inside
+    shard_map (Mosaic kernel on TPU — see ``_sharded_min_fn``), and the
+    scoring tail (eq.7 reweight, bilinear, blur — one-row gathers and single
+    matvecs over the bank) stays in GSPMD-land where the row sharding
+    partitions it automatically.  Not valid for cos_dist (PAD_VALUE rows
+    are only value-far under l2/l1; cos needs index masking in the min pass).
+
+    Returns callable (patches (B, Np, D), bank, mean, std, n_valid) ->
+    (s (B,), s_map (B, out, out)).
+    """
+    assert metric != "cos_dist"
+    min_fn = _sharded_min_fn(mesh, True, metric, use_kernel)
+
+    def g(patches, bank, mean, std, n_valid):
+        normed = (patches - mean) / std
+
+        def one(p, v, i):
+            return patchcore_finish(p, bank, v, i, feat_hw,
+                                    out_size=out_size, metric=metric,
+                                    n_reweight=n_reweight, n_valid=n_valid,
+                                    quantized_blur=quantized_blur)
+
+        mv, mi = min_fn(normed, bank)
+        return jax.vmap(one)(normed, mv, mi)
+
+    return jax.jit(g)

@@ -1,0 +1,123 @@
+"""Tests that only run on the real TPU chip (CMDIAD_TEST_ON_TPU=1).
+
+The CPU suite runs every kernel in interpreter mode and every method on the
+exact-KNN path; these tests pin the *compiled* behaviour the chip actually
+executes — the Mosaic scoring kernel's bf16 error envelope (including the
+argmin reuse for eq.7's m_star), the approx-KNN end-metric delta vs the
+reference's exact KNN, and the fused-attention kernel vs its einsum
+fallback.  Run log artifacts are committed under ``artifacts/``.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="requires the real TPU chip (set CMDIAD_TEST_ON_TPU=1)")
+
+
+def test_kernel_scoring_matches_exact_path(rng):
+    """The Pallas kernel path of patchcore_score (bf16 -2qb^T product, argmin
+    reused for m_star) vs the exact dense f32 path (chunk=None).
+
+    Bounds the ADVICE-flagged relaxation: near-equidistant bank rows can
+    flip the kernel's argmin, but the eq.7 reweighted score and the s_map
+    must stay within the bf16 product's documented ~0.4% envelope.
+    """
+    from cmdiad_tpu.ops.scoring import patchcore_score
+
+    patch = jnp.asarray(rng.normal(size=(3136, 768)).astype(np.float32))
+    bank = jnp.asarray(rng.normal(size=(32768, 768)).astype(np.float32))
+
+    s_kernel, map_kernel = jax.jit(functools.partial(
+        patchcore_score, feat_hw=(56, 56)))(patch, bank)
+    s_exact, map_exact = jax.jit(functools.partial(
+        patchcore_score, feat_hw=(56, 56), chunk=None))(patch, bank)
+
+    s_kernel, s_exact = float(s_kernel), float(s_exact)
+    rel = abs(s_kernel - s_exact) / max(abs(s_exact), 1e-9)
+    assert rel < 0.01, (s_kernel, s_exact)
+    map_rel = float(jnp.max(jnp.abs(map_kernel - map_exact))
+                    / jnp.max(jnp.abs(map_exact)))
+    assert map_rel < 0.01, map_rel
+
+
+def test_approx_knn_end_metric_delta(tmp_path_factory, monkeypatch, capsys):
+    """End-metric delta of the production approx-KNN (recall 0.95) vs the
+    reference's exact KNN, measured through the full DINO+Point_MAE pipeline
+    on the synthetic fixture (P=4096 points — small enough that exact
+    lax.top_k still compiles on the chip).
+
+    The reference's KNN is exact (models/models.py:86,100); production TPU
+    runs lax.approx_max_k.  Index-level recall was measured at 0.977; this
+    pins the metric-level consequence.  Deltas are printed for BASELINE.md.
+    """
+    from test_e2e import _cfg, _run
+    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+    from cmdiad_tpu.ops.knn import masked_knn
+    import cmdiad_tpu.models.point_mae as pm
+
+    root = tmp_path_factory.mktemp("synth_tpu")
+    dataset_root = make_synthetic_dataset(
+        str(root), size=64, n_train=5, n_test_good=2, n_test_bad=3,
+        n_test_color=3)
+
+    cfg = _cfg(method_name="DINO+Point_MAE")
+    monkeypatch.setattr(pm, "masked_knn",
+                        functools.partial(masked_knn, method="approx"))
+    m_approx = _run(cfg, dataset_root)
+    monkeypatch.setattr(pm, "masked_knn",
+                        functools.partial(masked_knn, method="exact"))
+    m_exact = _run(cfg, dataset_root)
+
+    deltas = {k: abs(m_approx[k] - m_exact[k]) for k in m_exact}
+    with capsys.disabled():
+        print(f"\n[knn-delta] approx={m_approx} exact={m_exact} "
+              f"deltas={deltas}")
+    # the group encoder max-pools over each neighbourhood, so boundary-rank
+    # swaps in the neighbour set barely move features; metric drift must
+    # stay within one rank swap on this tiny fixture
+    for k, d in deltas.items():
+        assert d < 0.1, (k, m_approx, m_exact)
+
+
+def test_flash_attention_kernel_matches_fallback(rng):
+    """Compiled Mosaic fused attention vs the einsum fallback at the ViT's
+    785-token shape (CPU runs only the interpreter-mode kernel)."""
+    from cmdiad_tpu.ops.flash_attn import fused_attention
+
+    b, n, h, d = 2, 785, 12, 64
+    q, k, v = [jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+               for _ in range(3)]
+    scale = d ** -0.5
+    out_kernel = np.asarray(fused_attention(q, k, v, scale, use_flash=True))
+    out_ref = np.asarray(fused_attention(q, k, v, scale, use_flash=False))
+    np.testing.assert_allclose(out_kernel, out_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_shard_map_pallas_scoring_mesh1(rng):
+    """The production DP-eval pattern — a Mosaic kernel inside shard_map —
+    compiled and executed on the chip (mesh of 1 real device).
+
+    The CPU suite checks shard_map numerics with use_pallas=False only; this
+    closes the 'kernel-inside-shard_map never compiled on TPU' gap.
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+    from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
+
+    patch = jnp.asarray(rng.normal(size=(784, 768)).astype(np.float32))
+    bank = jnp.asarray(rng.normal(size=(32768, 768)).astype(np.float32))
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    fn = jax.shard_map(lambda p, b: bank_min_dist_pallas(p, b),
+                       mesh=mesh, in_specs=(P("data"), P()),
+                       out_specs=(P("data"), P("data")), check_vma=False)
+    mv_sm, mi_sm = jax.jit(fn)(patch, bank)
+    mv, mi = jax.jit(bank_min_dist_pallas)(patch, bank)
+    np.testing.assert_allclose(np.asarray(mv_sm), np.asarray(mv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mi_sm), np.asarray(mi))
