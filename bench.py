@@ -119,9 +119,14 @@ def measure(bank_rows: int = 65536, batch: int = 8,
         def body(_, carry):
             # carry·1e-30 is numerically invisible but NOT foldable to zero,
             # so every iteration truly re-runs (the round-1 carry·0.0 form
-            # survived only because XLA declined the x·0→0 rewrite)
+            # survived only because XLA declined the x·0→0 rewrite).
+            # Point inputs encode validity as exact zeros (nonzero_point_mask)
+            # — perturb only already-valid coords so the padding stays zero
+            # and every iteration runs the production masked workload.
             eps = carry * 1e-30
-            return infer_batch(params, rgb + eps, pc + eps, compact + eps,
+            return infer_batch(params, rgb + eps,
+                               pc + eps * (pc != 0),
+                               compact + eps * (compact != 0),
                                rgb_bank, xyz_bank)
         return lax.fori_loop(0, chain, body, jnp.float32(0.0))
 

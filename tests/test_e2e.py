@@ -42,12 +42,16 @@ def _cfg(**kw):
     return Config(**base)
 
 
-def _run(cfg, dataset_root):
+def _run_r(cfg, dataset_root):
     cfg = cfg.replace(dataset_path=dataset_root)
     bb = _small_backbone(cfg.compute_dtype)
     runner = CMDIADRunner(cfg, backbone=bb, params=bb.init_params(0))
     runner.fit("widget")
-    return runner.evaluate("widget")
+    return runner.evaluate("widget"), runner
+
+
+def _run(cfg, dataset_root):
+    return _run_r(cfg, dataset_root)[0]
 
 
 @pytest.mark.parametrize("method", ["DINO", "Point_MAE", "DINO+Point_MAE",
@@ -82,20 +86,32 @@ def _mtfi_ftof_run(dataset_root, **cfg_kw):
     runner.method = method
     runner.timings = {}
     runner.fit("widget")
-    return runner.evaluate("widget")
+    return runner.evaluate("widget"), runner
 
 
 def test_mtfi_ftof_e2e(dataset_root):
-    metrics = _mtfi_ftof_run(dataset_root)
+    metrics, _ = _mtfi_ftof_run(dataset_root)
     for k in ("image_rocauc", "pixel_rocauc", "au_pro"):
         assert 0.0 <= metrics[k] <= 1.0
 
 
 def test_mtfi_batched_eval_matches_batch1(dataset_root):
-    """MTFI batch_size=3 must match batch_size=1 (the batched extract +
-    hallucinate + dual-bank scoring path vs the per-sample one)."""
-    m1 = _mtfi_ftof_run(dataset_root, batch_size=1)
-    m3 = _mtfi_ftof_run(dataset_root, batch_size=3)
+    """MTFI batch_size=3 must match batch_size=1 at the SCORE level (the
+    batched extract + hallucinate + dual-bank scoring path vs the
+    per-sample one).
+
+    Raw per-sample image scores and fused pixel maps are compared directly
+    (rtol bounds vmap-tiling ulp drift) — strictly stronger than the
+    metric-level 5e-3 tolerance this test used through round 2, which could
+    hide a systematic per-batch bias below rank-statistic noise."""
+    m1, r1 = _mtfi_ftof_run(dataset_root, batch_size=1)
+    m3, r3 = _mtfi_ftof_run(dataset_root, batch_size=3)
+    np.testing.assert_allclose(np.asarray(r1.method.image_preds),
+                               np.asarray(r3.method.image_preds),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.concatenate(r1.method.pixel_preds),
+                               np.concatenate(r3.method.pixel_preds),
+                               rtol=1e-3, atol=1e-5)
     for k in m1:
         assert abs(m1[k] - m3[k]) < 5e-3, (k, m1, m3)
 
@@ -119,14 +135,22 @@ def test_feature_dumping(dataset_root, tmp_path):
 
 
 def test_batched_eval_matches_batch1(dataset_root):
-    """batch_size=3 must match batch_size=1 metrics.
+    """batch_size=3 must match batch_size=1 at the score level.
 
-    vmap changes matmul tiling so distances differ in the last ulp; on the
-    tiny 5-image test set a single rank swap at the pixel level moves AUROC
-    by ~1/(n_pos*n_neg) — tolerate a small absolute delta.
+    vmap changes matmul tiling so distances differ in the last ulp; the
+    rtol bounds exactly that, while a systematic per-batch bias (which the
+    old metric-level 5e-3 check could hide) fails immediately.
     """
-    m1 = _run(_cfg(method_name="DINO+Point_MAE", batch_size=1), dataset_root)
-    m3 = _run(_cfg(method_name="DINO+Point_MAE", batch_size=3), dataset_root)
+    m1, r1 = _run_r(_cfg(method_name="DINO+Point_MAE", batch_size=1),
+                    dataset_root)
+    m3, r3 = _run_r(_cfg(method_name="DINO+Point_MAE", batch_size=3),
+                    dataset_root)
+    np.testing.assert_allclose(np.asarray(r1.method.image_preds),
+                               np.asarray(r3.method.image_preds),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.concatenate(r1.method.pixel_preds),
+                               np.concatenate(r3.method.pixel_preds),
+                               rtol=1e-3, atol=1e-5)
     for k in m1:
         assert abs(m1[k] - m3[k]) < 5e-3, (k, m1, m3)
 
