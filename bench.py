@@ -66,7 +66,8 @@ def _enable_compilation_cache() -> None:
 
 def measure(bank_rows: int = 65536, batch: int = 8,
             dtype: str = "bfloat16", chain: int = 8,
-            repeats: int = 2, seed: int = 0) -> dict:
+            repeats: int = 2, seed: int = 0,
+            use_flash: bool | None = None) -> dict:
     """Run the flagship pipeline benchmark; returns a result dict.
 
     Reused by benchmarks/bench_grid.py for the full workload sweep.
@@ -79,8 +80,11 @@ def measure(bank_rows: int = 65536, batch: int = 8,
     from cmdiad_tpu.ops.masked import host_compact_points
     from cmdiad_tpu.ops.scoring import patchcore_score
 
+    if use_flash is None:
+        use_flash = os.environ.get("CMDIAD_BENCH_FLASH", "0") == "1"
     backbone = DualBackbone(compute_dtype=dtype,
-                            use_pallas=jax.default_backend() == "tpu")
+                            use_pallas=jax.default_backend() == "tpu",
+                            use_flash=use_flash)
     params = backbone.init_params(0)
     grid = backbone.vit_config.grid
     rng = np.random.default_rng(seed)
