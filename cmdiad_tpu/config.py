@@ -124,6 +124,9 @@ class Config:
     mesh_shape: Tuple[int, ...] = ()  # () = single device
     shard_bank: bool = False     # shard memory-bank rows over the data axis
     use_pallas: bool = True      # Pallas kernels for FPS/coreset (False = pure jnp)
+    # fused attention kernel in the backbones (ops/flash_attn.py); separate
+    # knob because its Mosaic compile is a large one-time cost per shape
+    use_flash: bool = False
     seed: int = 0
 
     def replace(self, **kw) -> "Config":

@@ -120,7 +120,8 @@ def build_backbone(cfg: Config) -> DualBackbone:
         rgb_backbone_name=cfg.rgb_backbone_name,
         num_group=cfg.num_group, group_size=cfg.group_size,
         compute_dtype=cfg.compute_dtype, use_pallas=cfg.use_pallas,
-        image_size=cfg.rgb_size, pm_config=pm_config)
+        use_flash=cfg.use_flash, image_size=cfg.rgb_size,
+        pm_config=pm_config)
 
 
 def build_method(cfg: Config, backbone: Optional[DualBackbone] = None,

@@ -60,3 +60,26 @@ def test_flash_attention_padded_keys_get_zero_weight(rng):
     out = _kernel_path(q, k, v, d ** -0.5)
     oracle = _np_mha(np.asarray(q), np.asarray(k), np.asarray(v), d ** -0.5)
     np.testing.assert_allclose(out, oracle, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_bf16_dpad_path(rng):
+    """bf16 inputs take the d-padded (64 -> 128 lanes) kernel variant with
+    pow2 sequence padding (785 -> 1024) — the flagship TPU configuration;
+    verify the zero-padded lanes/rows change nothing vs the f64 oracle
+    within bf16 resolution."""
+    b, n, h, d = 1, 785, 2, 64
+    q, k, v = [jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32),
+                           dtype=jnp.bfloat16) for _ in range(3)]
+    out = np.asarray(fused_attention(q, k, v, d ** -0.5, use_flash=True),
+                     np.float32)
+    oracle = _np_mha(np.asarray(q, np.float32), np.asarray(k, np.float32),
+                     np.asarray(v, np.float32), d ** -0.5)
+    np.testing.assert_allclose(out, oracle, rtol=0.05, atol=0.05)
+
+
+def test_seq_pad_prefers_cheap_compiles():
+    from cmdiad_tpu.ops.flash_attn import _seq_pad
+    assert _seq_pad(785) == 1024   # pow2 within 4/3 of 896 -> cheap compile
+    assert _seq_pad(1025) == 1152  # pow2 2048 too far from 1152
+    assert _seq_pad(128) == 128
+    assert _seq_pad(64) == 128
