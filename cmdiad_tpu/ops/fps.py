@@ -71,8 +71,15 @@ def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, mind_in_ref,
     mind0 = mind_in_ref[0, 0, :]
     mind_scratch[0, :] = mind0
     idx_ref[0, 0, :] = jnp.zeros((num_samples,), jnp.int32)
-    # (Pallas argmax only lowers for f32 operands)
-    start = jnp.argmax((mind0 >= 0.0).astype(jnp.float32)).astype(jnp.int32)
+    # Seed = FIRST valid point (pointnet2 seeds index 0 of the filtered
+    # array).  Mosaic's argmax tie-break is ARBITRARY (measured: ties at
+    # lanes {3,100,200} returned 100 — its tree reduction visits lanes out
+    # of order), so argmax over the 0/1 validity vector silently seeds from
+    # a random valid point on the compiled path.  min-over-iota has no
+    # ties, so it is deterministic on every backend.
+    p_total = mind0.shape[0]
+    lane_p = lax.broadcasted_iota(jnp.int32, (p_total,), 0)
+    start = jnp.min(jnp.where(mind0 >= 0.0, lane_p, jnp.int32(p_total)))
 
     def body(i, last_idx):
         # record the point selected at step i (one-hot vector write)
@@ -84,6 +91,9 @@ def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, mind_in_ref,
         prev = mind_scratch[0, :]
         new = jnp.where(prev >= 0.0, jnp.minimum(prev, d), prev)
         mind_scratch[0, :] = new
+        # In-loop argmax ties (exactly equidistant candidates, e.g.
+        # duplicate points from quantised depth) resolve backend-dependently
+        # — both choices are equally-farthest, so FPS quality is unaffected.
         return jnp.argmax(new).astype(jnp.int32)
 
     lax.fori_loop(0, num_samples, body, start)

@@ -59,9 +59,12 @@ def _kernel(compute_dtype, ptsT_ref, pnorm_ref, c8_ref, cnorm_ref,
             + ohs[2] * (recips[2] / wsum))                      # (G, T)
     # contract over G (dim 0 of both) -> (T, D); MXU takes the transposed
     # lhs natively, no data movement
+    # precision pinned: Mosaic rejects bf16 operands with the fp32 contract
+    # precision that jax_default_matmul_precision=float32 would inject
     out = lax.dot_general(wmat.astype(compute_dtype),
                           feats_ref[0].astype(compute_dtype),
                           dimension_numbers=(((0,), (0,)), ((), ())),
+                          precision=lax.Precision.DEFAULT,
                           preferred_element_type=jnp.float32)   # (T, D)
     out_ref[0] = (out * mask_ref[0].T).astype(out_ref.dtype)
 

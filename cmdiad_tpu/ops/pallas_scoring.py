@@ -40,7 +40,11 @@ def _kernel(nq, tile, patch_ref, pnorm_ref, bank_ref, bnorm_ref,
 
     # d2 = |b|^2 - 2 b.q  (the |q|^2 row-constant is added by the caller;
     # it cannot change the argmin)
+    # precision pinned: Mosaic rejects bf16 operands with an fp32 contract
+    # precision, which jax_default_matmul_precision=float32 (the test
+    # suite's TPU oracle mode) would otherwise inject here
     prod = jnp.dot(bank_ref[:, :], patch_ref[:, :],
+                   precision=jax.lax.Precision.DEFAULT,
                    preferred_element_type=jnp.float32)       # (TILE, Nq)
     d2 = bnorm_ref[:, :] - 2.0 * prod                        # (TILE, Nq)
     tile_min = jnp.min(d2, axis=0)                           # (Nq,)

@@ -22,6 +22,14 @@ import jax  # noqa: E402
 
 if not os.environ.get("CMDIAD_TEST_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
+else:
+    # The suite's oracle tolerances are calibrated for f32 math; TPU's
+    # default matmul precision is bf16-ish passes, which moves einsum
+    # results (and through them FPS/KNN *selections*) past those bounds.
+    # Tests verify math, so pin f32 matmuls; production keeps the default
+    # (speed) and its numeric envelope is covered by the bf16 end-metric
+    # test and the recorded approx-vs-exact deltas in BASELINE.md.
+    jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

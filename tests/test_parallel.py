@@ -12,7 +12,11 @@ from cmdiad_tpu.ops.scoring import patchcore_score
 
 @pytest.fixture(scope="module")
 def mesh():
-    assert len(jax.devices()) >= 8
+    if len(jax.devices()) < 8:
+        # CMDIAD_TEST_ON_TPU runs see the single real chip; the mesh
+        # numerics are covered by the virtual-CPU-mesh run and the
+        # kernel-inside-shard_map TPU coverage lives in test_tpu_only.py
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
     return make_mesh((8,), ("data",))
 
 

@@ -81,10 +81,14 @@ def test_fps_pallas_batched_matches_jnp(rng):
 
 
 def test_knn_matches_numpy(rng):
+    # method pinned to exact: this is the index-level oracle; the approx
+    # path the TPU production runs has its own recall + end-metric coverage
+    # (test_tpu_only.test_approx_knn_end_metric_delta)
     pts, _ = _make_masked_points(rng, p=300, n_valid=250)
     mask = np.asarray(masked.nonzero_point_mask(pts))
     centers = pts[mask][:17]
-    idx = np.asarray(knn.masked_knn(pts[None], mask[None], centers[None], 5)[0])
+    idx = np.asarray(knn.masked_knn(pts[None], mask[None], centers[None], 5,
+                                    method="exact")[0])
     d = np.linalg.norm(centers[:, None] - pts[None], axis=-1)
     d[:, ~mask] = np.inf
     oracle = np.argsort(d, axis=1, kind="stable")[:, :5]
