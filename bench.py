@@ -104,14 +104,22 @@ def measure(bank_rows: int = 65536, batch: int = 8,
     rgb_rows = bucket(bank_rows // 4)
     xyz_bank = jnp.asarray(rng.normal(size=(xyz_rows, 768)).astype(np.float32))
     rgb_bank = jnp.asarray(rng.normal(size=(rgb_rows, 768)).astype(np.float32))
+    # production precomputes each bank's NN table at fit time
+    # (methods/base.finalize_banks) so eq.7 needs no per-sample bank pass
+    from cmdiad_tpu.ops.scoring import bank_nn_table
+    xyz_table = jax.jit(bank_nn_table, static_argnames=("k",))(xyz_bank, k=3)
+    rgb_table = jax.jit(bank_nn_table, static_argnames=("k",))(rgb_bank, k=3)
 
-    def infer_batch(params, rgb, pc, compact, rgb_bank, xyz_bank):
+    def infer_batch(params, rgb, pc, compact, rgb_bank, xyz_bank,
+                    rgb_table, xyz_table):
         rgb_patch, _ = backbone.rgb_patches(params, rgb)
         out = backbone.xyz_patches(params, pc, compact_pts=compact)
 
         def score_one(rp, xp):
-            s_r, m_r = patchcore_score(rp, rgb_bank, (grid, grid))
-            s_x, m_x = patchcore_score(xp, xyz_bank, (56, 56))
+            s_r, m_r = patchcore_score(rp, rgb_bank, (grid, grid),
+                                       nn_table=rgb_table)
+            s_x, m_x = patchcore_score(xp, xyz_bank, (56, 56),
+                                       nn_table=xyz_table)
             # fold the full segmentation maps into the scalar so the
             # bilinear+blur stages stay live (production consumes them)
             return 0.1 * s_r + s_x + 1e-9 * (jnp.sum(m_r) + jnp.sum(m_x))
@@ -119,7 +127,8 @@ def measure(bank_rows: int = 65536, batch: int = 8,
         return jnp.sum(jax.vmap(score_one)(rgb_patch, out["xyz_patch"]))
 
     @jax.jit
-    def chained(params, rgb, pc, compact, rgb_bank, xyz_bank):
+    def chained(params, rgb, pc, compact, rgb_bank, xyz_bank,
+                rgb_table, xyz_table):
         def body(_, carry):
             # carry·1e-30 is numerically invisible but NOT foldable to zero,
             # so every iteration truly re-runs (the round-1 carry·0.0 form
@@ -131,23 +140,24 @@ def measure(bank_rows: int = 65536, batch: int = 8,
             return infer_batch(params, rgb + eps,
                                pc + eps * (pc != 0),
                                compact + eps * (compact != 0),
-                               rgb_bank, xyz_bank)
+                               rgb_bank, xyz_bank, rgb_table, xyz_table)
         return lax.fori_loop(0, chain, body, jnp.float32(0.0))
 
+    bench_args = (params, rgb, pc, compact, rgb_bank, xyz_bank,
+                  rgb_table, xyz_table)
     t_c0 = time.perf_counter()
-    float(chained(params, rgb, pc, compact, rgb_bank, xyz_bank))  # compile+warm
+    float(chained(*bench_args))  # compile+warm
     compile_s = time.perf_counter() - t_c0
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(chained(params, rgb, pc, compact, rgb_bank, xyz_bank))
+        float(chained(*bench_args))
         best = min(best, time.perf_counter() - t0)
 
     flops_per_img = None
     try:  # client-side analysis of the compiled executable; optional
-        ca = jax.jit(infer_batch).lower(
-            params, rgb, pc, compact, rgb_bank, xyz_bank).compile(
+        ca = jax.jit(infer_batch).lower(*bench_args).compile(
             ).cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -162,6 +172,23 @@ def measure(bank_rows: int = 65536, batch: int = 8,
                     if rows % 1024 == 0 and rows >= 32768:
                         nq_pad = -(-nq // 128) * 128
                         flops_per_img += 2.0 * nq_pad * rows * 768
+                if use_flash:
+                    # fused attention is a custom call too: QK^T + PV at the
+                    # kernel's padded shapes (padding is real MXU work)
+                    from cmdiad_tpu.ops.flash_attn import _seq_pad
+                    vc, pc_cfg = backbone.vit_config, backbone.pm_config
+                    for n_tok, heads, layers, hd in (
+                            (vc.grid * vc.grid + 1, vc.num_heads, vc.depth,
+                             vc.embed_dim // vc.num_heads),
+                            (pc_cfg.num_group  # +cls only in Point-BERT
+                             + (pc_cfg.encoder_dims != pc_cfg.trans_dim),
+                             pc_cfg.num_heads, pc_cfg.depth,
+                             pc_cfg.trans_dim // pc_cfg.num_heads)):
+                        n_pad = _seq_pad(n_tok)
+                        d_pad = (-(-hd // 128) * 128 if dtype == "bfloat16"
+                                 else hd)
+                        flops_per_img += (layers * heads
+                                          * 2 * 2.0 * n_pad * n_pad * d_pad)
     except Exception:
         pass
 

@@ -39,25 +39,28 @@ from cmdiad_tpu.ops.scoring import patchcore_score, pad_bank
 @functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
                                              "n_reweight", "chunk",
                                              "quantized_blur"))
-def _score_one(patch, bank, mean, std, n_valid, feat_hw, out_size, metric,
-               n_reweight, chunk=8192, quantized_blur=False):
+def _score_one(patch, bank, mean, std, n_valid, nn_table, feat_hw, out_size,
+               metric, n_reweight, chunk=8192, quantized_blur=False):
     normed = (patch - mean) / std
     return patchcore_score(normed, bank, feat_hw, out_size=out_size,
                            metric=metric, n_reweight=n_reweight, chunk=chunk,
-                           n_valid=n_valid, quantized_blur=quantized_blur)
+                           n_valid=n_valid, quantized_blur=quantized_blur,
+                           nn_table=nn_table)
 
 
 @functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
                                              "n_reweight", "chunk",
                                              "quantized_blur"))
-def _score_batch(patches, bank, mean, std, n_valid, feat_hw, out_size, metric,
-                 n_reweight, chunk=8192, quantized_blur=False):
+def _score_batch(patches, bank, mean, std, n_valid, nn_table, feat_hw,
+                 out_size, metric, n_reweight, chunk=8192,
+                 quantized_blur=False):
     """vmapped per-sample scoring: (B, Np, D) -> ((B,), (B, out, out))."""
     def one(p):
         return patchcore_score((p - mean) / std, bank, feat_hw,
                                out_size=out_size, metric=metric,
                                n_reweight=n_reweight, chunk=chunk,
-                               n_valid=n_valid, quantized_blur=quantized_blur)
+                               n_valid=n_valid, quantized_blur=quantized_blur,
+                               nn_table=nn_table)
     return jax.vmap(one)(patches)
 
 
@@ -71,15 +74,15 @@ def _score_batch_sharded(mesh, feat_hw, out_size, metric, n_reweight, chunk,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def g(patches, bank, mean, std, n_valid):
-        return _score_batch(patches, bank, mean, std, n_valid,
+    def g(patches, bank, mean, std, n_valid, nn_table):
+        return _score_batch(patches, bank, mean, std, n_valid, nn_table,
                             feat_hw=feat_hw, out_size=out_size, metric=metric,
                             n_reweight=n_reweight, chunk=chunk,
                             quantized_blur=quantized_blur)
 
     return jax.jit(shard_map(
         g, mesh=mesh,
-        in_specs=(P("data"), P(), P(), P(), P()),
+        in_specs=(P("data"), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data")), check_vma=False))
 
 
@@ -107,6 +110,10 @@ class MemoryBankMethod:
         self._bank_acc: Dict[str, List[np.ndarray]] = {n: [] for n in self.bank_names}
         self.banks: Dict[str, jnp.ndarray] = {}
         self.bank_sizes: Dict[str, int] = {}  # true rows before pad_bank
+        # per-bank (Nb, n_reweight) NN tables (ops.scoring.bank_nn_table):
+        # eq.7's m_star neighbourhood by lookup instead of a per-sample
+        # full-bank distance pass
+        self.nn_tables: Dict[str, jnp.ndarray] = {}
         self.coreset_idx: Dict[str, np.ndarray] = {}  # selected rows per bank
         self.stats: Dict[str, Tuple[float, float]] = {}
 
@@ -255,9 +262,24 @@ class MemoryBankMethod:
                 self.coreset_idx[n] = np.asarray(idx)
                 bank = bank[self.coreset_idx[n]]
             self.bank_sizes[n] = bank.shape[0]
-            self.banks[n] = self._place_bank(
-                pad_bank(jnp.asarray(bank, jnp.float32)))
+            padded = pad_bank(jnp.asarray(bank, jnp.float32))
+            from cmdiad_tpu.ops.scoring import bank_nn_table
+            table = bank_nn_table(padded, k=self.cfg.n_reweight,
+                                  n_valid=self.bank_sizes[n],
+                                  metric=self.cfg.dist_method_s)
+            self.banks[n] = self._place_bank(padded)
+            self.nn_tables[n] = self._replicate_small(table)
         self._bank_acc = {n: [] for n in self.bank_names}
+
+    def _replicate_small(self, arr: jnp.ndarray) -> jnp.ndarray:
+        """Replicate a small per-bank array across the active mesh (the NN
+        table is ~0.8 MB at 65k rows), matching the bank's mesh placement."""
+        mesh = (self._get_mesh() if self.cfg.shard_bank
+                else self._dp_eval_mesh())
+        if mesh is not None and len(jax.devices()) > 1:
+            from cmdiad_tpu.parallel.mesh import replicate
+            return replicate(mesh, arr)
+        return arr
 
     def _get_mesh(self):
         """Mesh for multi-device eval: cfg.mesh_shape if set, else all
@@ -332,11 +354,13 @@ class MemoryBankMethod:
         if sharded is not None:
             s, s_map = sharded(
                 p[None], self.banks[bank_name], jnp.float32(mean),
-                jnp.float32(std), jnp.int32(self.bank_sizes[bank_name]))
+                jnp.float32(std), jnp.int32(self.bank_sizes[bank_name]),
+                self.nn_tables.get(bank_name))
             return s[0], s_map[0]
         s, s_map = _score_one(
             p, self.banks[bank_name], jnp.float32(mean), jnp.float32(std),
             jnp.int32(self.bank_sizes[bank_name]),
+            self.nn_tables.get(bank_name),
             feat_hw=(side, side), out_size=self.cfg.gt_size,
             metric=self.cfg.dist_method_s, n_reweight=self.cfg.n_reweight,
             chunk=self._chunk(), quantized_blur=self.cfg.quantized_blur)
@@ -356,7 +380,8 @@ class MemoryBankMethod:
         if sharded is not None:
             return sharded(
                 patches, self.banks[bank_name], jnp.float32(mean),
-                jnp.float32(std), jnp.int32(self.bank_sizes[bank_name]))
+                jnp.float32(std), jnp.int32(self.bank_sizes[bank_name]),
+                self.nn_tables.get(bank_name))
         mesh = self._dp_eval_mesh()
         b = patches.shape[0]
         static = dict(feat_hw=(side, side), out_size=self.cfg.gt_size,
@@ -364,7 +389,8 @@ class MemoryBankMethod:
                       n_reweight=self.cfg.n_reweight, chunk=self._chunk(),
                       quantized_blur=self.cfg.quantized_blur)
         args = (self.banks[bank_name], jnp.float32(mean), jnp.float32(std),
-                jnp.int32(self.bank_sizes[bank_name]))
+                jnp.int32(self.bank_sizes[bank_name]),
+                self.nn_tables.get(bank_name))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             n_dev = mesh.shape["data"]

@@ -135,11 +135,42 @@ def bank_min_dist(patch: jnp.ndarray, bank: jnp.ndarray,
     return mv, mi
 
 
+def bank_nn_table(bank: jnp.ndarray, k: int = 3, n_valid=None,
+                  metric: str = "l2", chunk: int = 2048) -> jnp.ndarray:
+    """Per-row k nearest bank rows, self first at distance ~0 — (Nb, k) int32.
+
+    Precomputed ONCE per bank (fit time) so eq.7's reweight needs no
+    per-sample full-bank m_star row pass at eval: ``patchcore_finish`` then
+    looks the neighbourhood up by the NN index instead of streaming the
+    bank again (~0.3 ms/img of HBM traffic at the 65k+16k flagship banks).
+    Same iterative min-extraction (ties to first occurrence) as the runtime
+    path it replaces, computed in exact f32.
+    """
+    nb, d = bank.shape
+    c = min(chunk, nb)
+    while nb % c:
+        c //= 2
+
+    def one(rows):
+        dist = cdist(rows, bank, metric)
+        if n_valid is not None:
+            dist = mask_padding_cols(dist, n_valid)
+        cols = jnp.arange(nb)[None, :]
+        idxs = []
+        for _ in range(k):
+            j = jnp.argmin(dist, axis=1).astype(jnp.int32)
+            idxs.append(j)
+            dist = jnp.where(cols == j[:, None], jnp.float32(3.4e38), dist)
+        return jnp.stack(idxs, axis=1)
+
+    return lax.map(one, bank.reshape(nb // c, c, d)).reshape(nb, k)
+
+
 def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
                     feat_hw, out_size: int = 224, metric: str = "l2",
                     n_reweight: int = 3, blur_radius: float = 4.0,
                     chunk: int | None = 8192, n_valid=None,
-                    quantized_blur: bool = False):
+                    quantized_blur: bool = False, nn_table=None):
     """Image score + segmentation map for one sample against one bank.
 
     Mirrors ``Features.compute_single_s_s_map`` (features.py:225-297):
@@ -187,18 +218,24 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
     return patchcore_finish(patch, bank, min_val, min_idx, feat_hw,
                             out_size=out_size, metric=metric,
                             n_reweight=n_reweight, blur_radius=blur_radius,
-                            n_valid=n_valid, quantized_blur=quantized_blur)
+                            n_valid=n_valid, quantized_blur=quantized_blur,
+                            nn_table=nn_table)
 
 
 def patchcore_finish(patch, bank, min_val, min_idx, feat_hw,
                      out_size: int = 224, metric: str = "l2",
                      n_reweight: int = 3, blur_radius: float = 4.0,
-                     n_valid=None, quantized_blur: bool = False):
+                     n_valid=None, quantized_blur: bool = False,
+                     nn_table=None):
     """Everything downstream of the bank min-distance pass: eq.7 reweight,
     bilinear upsample and blur.  Split out so callers with their own
     min-distance computation (the shard_map'd sharded-bank kernel path,
     parallel/eval.py) reuse the identical tail; ``min_idx=None`` re-derives
     the top patch's bank NN exactly with one matvec.
+
+    ``nn_table`` (precomputed by ``bank_nn_table``) replaces the
+    m_star-to-bank distance pass with an index lookup — one fewer full bank
+    stream per sample; identical neighbour choice by construction.
 
     All bank touches here are one-row gathers and single matvecs — under a
     row-sharded bank GSPMD partitions them shard-local (no Mosaic involved).
@@ -212,28 +249,40 @@ def patchcore_finish(patch, bank, min_val, min_idx, feat_hw,
 
     m_test = patch[s_idx]
     if min_idx is not None:
-        m_star = bank[min_idx[s_idx]]
+        m_star_idx = min_idx[s_idx]
     else:
         # jnp path tracks no argmin (the per-chunk index reduce would cost
         # as much as the min pass); one matvec re-derives it exactly
-        m_star = bank[jnp.argmin(_mask_row(cdist(m_test[None, :], bank,
-                                                 metric)[0]))]
-    w_dist = _mask_row(cdist(m_star[None, :], bank, metric)[0])
-    # n_reweight smallest by iterative min-extraction — lax.top_k over a
-    # ~10^5-wide row lowers to a sort costing ~7 ms on v5e; three min/argmin
-    # passes are ~100x cheaper
-    nn_idx = []
-    wd = w_dist
-    for _ in range(n_reweight):
-        j = jnp.argmin(wd)
-        nn_idx.append(j)
-        wd = wd.at[j].set(jnp.float32(3.4e38))
-    nn_idx = jnp.stack(nn_idx)
+        m_star_idx = jnp.argmin(_mask_row(cdist(m_test[None, :], bank,
+                                                metric)[0]))
+    if nn_table is not None:
+        nn_idx = nn_table[m_star_idx]
+    else:
+        w_dist = _mask_row(cdist(bank[m_star_idx][None, :], bank, metric)[0])
+        # n_reweight smallest by iterative min-extraction — lax.top_k over a
+        # ~10^5-wide row lowers to a sort costing ~7 ms on v5e; three
+        # min/argmin passes are ~100x cheaper
+        nn_idx = []
+        wd = w_dist
+        for _ in range(n_reweight):
+            j = jnp.argmin(wd)
+            nn_idx.append(j)
+            wd = wd.at[j].set(jnp.float32(3.4e38))
+        nn_idx = jnp.stack(nn_idx)
     # nn_idx[0] is m_star itself (distance 0); eq. 7 uses the remaining ones.
     m_star_knn = jnp.linalg.norm(m_test[None, :] - bank[nn_idx[1:]], axis=1)
 
     d_sqrt = jnp.sqrt(jnp.float32(patch.shape[1]))
-    w = 1.0 - jnp.exp(s_star / d_sqrt) / jnp.sum(jnp.exp(m_star_knn / d_sqrt))
+    # eq.7's naive form (reference features.py:287) overflows f32 when a
+    # test patch sits far from the bank (exp(s*/sqrt(D)) -> inf, inf/inf ->
+    # NaN — the reference's own comment at features.py:268-270 admits the
+    # hazard).  Subtract the shared max before exponentiating: identical in
+    # exact arithmetic, overflow-free, and matches the reference within
+    # ulps wherever the reference itself doesn't overflow.
+    a = s_star / d_sqrt
+    b = m_star_knn / d_sqrt
+    m = jnp.maximum(a, jnp.max(b))
+    w = 1.0 - jnp.exp(a - m) / jnp.sum(jnp.exp(b - m))
     s = w * s_star
 
     h, w_ = feat_hw

@@ -138,20 +138,21 @@ def sharded_score_batch_fn(mesh: Mesh, feat_hw, out_size: int, metric: str,
     partitions it automatically.  Not valid for cos_dist (PAD_VALUE rows
     are only value-far under l2/l1; cos needs index masking in the min pass).
 
-    Returns callable (patches (B, Np, D), bank, mean, std, n_valid) ->
-    (s (B,), s_map (B, out, out)).
+    Returns callable (patches (B, Np, D), bank, mean, std, n_valid,
+    nn_table) -> (s (B,), s_map (B, out, out)).
     """
     assert metric != "cos_dist"
     min_fn = _sharded_min_fn(mesh, True, metric, use_kernel)
 
-    def g(patches, bank, mean, std, n_valid):
+    def g(patches, bank, mean, std, n_valid, nn_table):
         normed = (patches - mean) / std
 
         def one(p, v, i):
             return patchcore_finish(p, bank, v, i, feat_hw,
                                     out_size=out_size, metric=metric,
                                     n_reweight=n_reweight, n_valid=n_valid,
-                                    quantized_blur=quantized_blur)
+                                    quantized_blur=quantized_blur,
+                                    nn_table=nn_table)
 
         mv, mi = min_fn(normed, bank)
         return jax.vmap(one)(normed, mv, mi)

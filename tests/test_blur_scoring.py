@@ -139,3 +139,74 @@ def test_bank_min_dist_without_argmin(rng):
     assert mi is None
     d = np.linalg.norm(patch[:, None] - bank[None], axis=-1)
     np.testing.assert_allclose(np.asarray(mv), d.min(1), rtol=1e-4, atol=1e-4)
+
+
+def test_bank_nn_table_matches_oracle(rng):
+    bank = rng.normal(size=(512, 24)).astype(np.float32)
+    table = np.asarray(scoring.bank_nn_table(jnp.asarray(bank), k=3,
+                                             chunk=128))
+    d = np.linalg.norm(bank[:, None] - bank[None], axis=-1)
+    order = np.argsort(d, axis=1, kind="stable")[:, :3]
+    # self is always first (distance 0)
+    np.testing.assert_array_equal(table[:, 0], np.arange(512))
+    np.testing.assert_array_equal(np.sort(table, 1), np.sort(order, 1))
+
+
+def test_bank_nn_table_masks_padding(rng):
+    bank = np.concatenate([rng.normal(size=(100, 8)).astype(np.float32),
+                           np.full((28, 8), scoring.PAD_VALUE, np.float32)])
+    table = np.asarray(scoring.bank_nn_table(jnp.asarray(bank), k=3,
+                                             n_valid=100, chunk=64))
+    assert (table[:100] < 100).all()
+
+
+def test_patchcore_score_nn_table_path_matches(rng):
+    """eq.7 via the precomputed NN table == the per-sample m_star distance
+    pass (same neighbour indices by construction -> identical scores)."""
+    patch = rng.normal(size=(64, 16)).astype(np.float32)
+    bank = rng.normal(size=(600, 16)).astype(np.float32)
+    table = scoring.bank_nn_table(jnp.asarray(bank), k=3)
+    s_ref, map_ref = scoring.patchcore_score(
+        jnp.asarray(patch), jnp.asarray(bank), (8, 8), out_size=32)
+    s_tab, map_tab = scoring.patchcore_score(
+        jnp.asarray(patch), jnp.asarray(bank), (8, 8), out_size=32,
+        nn_table=table)
+    np.testing.assert_allclose(float(s_tab), float(s_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(map_tab), np.asarray(map_ref))
+
+
+def test_patchcore_score_no_overflow_far_patch(rng):
+    """A test patch very far from the bank must not NaN the image score.
+
+    The reference's eq.7 (features.py:287) computes exp(s*/sqrt(D)) naively
+    and overflows f32 past s* ~ 88.7*sqrt(D) (its own comment at
+    features.py:268-270 admits "exp(norm) can give infinities"); the rebuild
+    uses the max-subtracted form, which is identical in exact arithmetic and
+    finite for any distance.  Observed live: a TPU Point_MAE e2e sample at
+    s* ~ 920 scored NaN before this fix."""
+    d_feat = 12
+    patch = rng.normal(size=(64, d_feat)).astype(np.float32)
+    patch[5] += 500.0  # ~1700 sigma away from the bank: exp(s*/sqrt(12)) inf
+    bank = rng.normal(size=(200, d_feat)).astype(np.float32)
+    s, s_map = scoring.patchcore_score(
+        jnp.asarray(patch), jnp.asarray(bank), (8, 8), out_size=32)
+    assert np.isfinite(float(s))
+    assert np.isfinite(np.asarray(s_map)).all()
+
+    # f64 oracle of the same eq.7 (stable at this magnitude in f64)
+    dist = np.linalg.norm(patch[:, None].astype(np.float64)
+                          - bank[None].astype(np.float64), axis=-1)
+    min_val = dist.min(1)
+    s_idx = min_val.argmax()
+    s_star = min_val.max()
+    m_star = bank[dist[s_idx].argmin()].astype(np.float64)
+    w_dist = np.linalg.norm(m_star[None] - bank, axis=1)
+    nn_idx = np.argsort(w_dist)[:3]
+    m_star_knn = np.linalg.norm(patch[s_idx].astype(np.float64)
+                                - bank[nn_idx[1:]], axis=1)
+    dsq = np.sqrt(d_feat)
+    ln = s_star / dsq - (np.log(np.sum(np.exp(
+        m_star_knn / dsq - m_star_knn.max() / dsq)))
+        + m_star_knn.max() / dsq)
+    w_ = 1.0 - np.exp(ln)
+    np.testing.assert_allclose(float(s), w_ * s_star, rtol=1e-4)
