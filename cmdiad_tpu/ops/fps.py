@@ -55,46 +55,51 @@ def _fps_single_jnp(points: jnp.ndarray, mask: jnp.ndarray, num_samples: int):
 def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, mind_in_ref,
                        idx_ref, mind_scratch):
     """One grid program per batch instance (blocks carry a leading size-1
-    batch dim).  pts (1, 3, P) f32 in VMEM (coords on sublanes, points on
-    lanes) plus a sublane-aligned (1, P, 8) row copy for O(1) dynamic
-    coordinate fetch of the selected point — one distance pass + one argmax
-    per iteration.
+    batch dim).  Per-point state lives in FULL (S, 128) tiles — S = P/128
+    sublanes — not single-sublane (1, P) vectors: a (1, P) f32 vector
+    occupies P/128 vregs at 1/8 utilisation, so every elementwise pass over
+    it costs 8x the vector ops of the packed layout (element (s, l) is
+    point s*128 + l).  pts is 3 such planes (coords outermost); a
+    sublane-aligned (P, 8) row copy gives O(1) dynamic coordinate fetch of
+    the selected point.
 
-    The seed (first valid point in scan order, pointnet2 semantics) is
-    derived in-kernel from the init min-dist vector (invalid lanes are -1).
+    The farthest selection is max-then-min-over-index-where-equal (two
+    packed passes) instead of Mosaic argmax: same cost class, and —
+    unlike Mosaic's argmax, whose tie-break is ARBITRARY (measured: ties at
+    lanes {3,100,200} returned 100; its tree reduction visits lanes out of
+    order) — it deterministically picks the FIRST point at the max, on
+    every backend.  That makes the seed (first valid point in scan order,
+    pointnet2 semantics) and every in-loop tie reproducible.
+
     Batching via the grid instead of vmap keeps VMEM at one instance's
     footprint: vmapping a whole-array-block pallas_call stages EVERY
     instance's operands in VMEM at once and OOMs its 16 MB scoped limit at
     batch >= 4 with 32k-point sets.
     """
     lane_g = lax.broadcasted_iota(jnp.int32, (1, num_samples), 1)
-    mind0 = mind_in_ref[0, 0, :]
-    mind_scratch[0, :] = mind0
+    s_tiles = mind_in_ref.shape[2]
+    p_total = s_tiles * 128
+    # flat point index of element (s, l) = s*128 + l
+    flat_idx = (lax.broadcasted_iota(jnp.int32, (s_tiles, 128), 0) * 128
+                + lax.broadcasted_iota(jnp.int32, (s_tiles, 128), 1))
+    mind0 = mind_in_ref[0, 0]                                  # (S, 128)
+    mind_scratch[:, :] = mind0
     idx_ref[0, 0, :] = jnp.zeros((num_samples,), jnp.int32)
-    # Seed = FIRST valid point (pointnet2 seeds index 0 of the filtered
-    # array).  Mosaic's argmax tie-break is ARBITRARY (measured: ties at
-    # lanes {3,100,200} returned 100 — its tree reduction visits lanes out
-    # of order), so argmax over the 0/1 validity vector silently seeds from
-    # a random valid point on the compiled path.  min-over-iota has no
-    # ties, so it is deterministic on every backend.
-    p_total = mind0.shape[0]
-    lane_p = lax.broadcasted_iota(jnp.int32, (p_total,), 0)
-    start = jnp.min(jnp.where(mind0 >= 0.0, lane_p, jnp.int32(p_total)))
+    start = jnp.min(jnp.where(mind0 >= 0.0, flat_idx, jnp.int32(p_total)))
 
     def body(i, last_idx):
         # record the point selected at step i (one-hot vector write)
         idx_ref[0, 0, :] = jnp.where(lane_g[0] == i, last_idx, idx_ref[0, 0, :])
         row = rows_ref[0, pl.ds(last_idx, 1), :]              # (1, 8)
-        d = ((pts_ref[0, 0, :] - row[0, 0]) ** 2
-             + (pts_ref[0, 1, :] - row[0, 1]) ** 2
-             + (pts_ref[0, 2, :] - row[0, 2]) ** 2)
-        prev = mind_scratch[0, :]
+        d = ((pts_ref[0, 0] - row[0, 0]) ** 2
+             + (pts_ref[0, 1] - row[0, 1]) ** 2
+             + (pts_ref[0, 2] - row[0, 2]) ** 2)              # (S, 128)
+        prev = mind_scratch[:, :]
         new = jnp.where(prev >= 0.0, jnp.minimum(prev, d), prev)
-        mind_scratch[0, :] = new
-        # In-loop argmax ties (exactly equidistant candidates, e.g.
-        # duplicate points from quantised depth) resolve backend-dependently
-        # — both choices are equally-farthest, so FPS quality is unaffected.
-        return jnp.argmax(new).astype(jnp.int32)
+        mind_scratch[:, :] = new
+        far = jnp.max(new)
+        return jnp.min(jnp.where(new == far, flat_idx,
+                                 jnp.int32(p_total))).astype(jnp.int32)
 
     lax.fori_loop(0, num_samples, body, start)
 
@@ -102,29 +107,37 @@ def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, mind_in_ref,
 def _fps_batched_pallas(points: jnp.ndarray, mask: jnp.ndarray,
                         num_samples: int):
     """points (B, P, 3), mask (B, P) -> (B, G) int32, one grid step per
-    batch instance (VMEM holds a single instance at a time)."""
+    batch instance (VMEM holds a single instance at a time).  The point
+    capacity is padded to a 128 multiple for the packed tiles (production
+    sets are pow2-capacity already; padded slots carry the invalid -1
+    sentinel so they can never be selected)."""
     B, P, _ = points.shape
-    pts_t = points.astype(jnp.float32).transpose(0, 2, 1)         # (B, 3, P)
+    pad = (-P) % 128
+    s_tiles = (P + pad) // 128
+    pts_t = (jnp.pad(points.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
+             .transpose(0, 2, 1).reshape(B, 3, s_tiles, 128))  # (B, 3, S, 128)
     rows = jnp.pad(points.astype(jnp.float32),
                    ((0, 0), (0, 0), (0, 5)))                      # (B, P, 8)
-    init_min = jnp.where(mask, jnp.float32(1e10),
-                         jnp.float32(-1.0))[:, None, :]           # (B, 1, P)
+    init_min = jnp.pad(
+        jnp.where(mask, jnp.float32(1e10), jnp.float32(-1.0)),
+        ((0, 0), (0, pad)), constant_values=-1.0).reshape(
+            B, 1, s_tiles, 128)                               # (B, 1, S, 128)
 
     idxs = pl.pallas_call(
         functools.partial(_fps_pallas_kernel, num_samples),
         grid=(B,),
         out_shape=jax.ShapeDtypeStruct((B, 1, num_samples), jnp.int32),
         in_specs=[
-            pl.BlockSpec((1, 3, P), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),   # pts (1, 3, P)
+            pl.BlockSpec((1, 3, s_tiles, 128), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # pts (1, 3, S, 128)
             pl.BlockSpec((1, P, 8), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),   # rows (1, P, 8)
-            pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),   # init min-dist (1, 1, P)
+            pl.BlockSpec((1, 1, s_tiles, 128), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # init min-dist
         ],
         out_specs=pl.BlockSpec((1, 1, num_samples), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s_tiles, 128), jnp.float32)],
         # Mosaic's default scoped-VMEM budget is 16 MiB — far below the
         # 128 MiB physical VMEM of a v5e core.  The compiler reports ~8 MiB
         # of scoped stack per in-flight instance at P=32768 (raw operand
