@@ -64,6 +64,17 @@ def _score_batch(patches, bank, mean, std, n_valid, nn_table, feat_hw,
     return jax.vmap(one)(patches)
 
 
+@jax.jit
+def _fuse_predict(s_vec, s_maps, wd, ws):
+    """Device-side linear-OCSVM fusion (one dispatch per predict batch):
+    ``score_samples`` of fusion/ocsvm.py is exactly x·coef for both fusers,
+    so only the FUSED (B, gt, gt) map + (B,) scores ever cross to host."""
+    s = s_vec.astype(jnp.float32) @ wd                           # (B,)
+    fused = jnp.einsum("bkxy,k->bxy",
+                       s_maps.astype(jnp.float32), ws)           # (B,gt,gt)
+    return s, fused
+
+
 @functools.lru_cache(maxsize=None)
 def _score_batch_sharded(mesh, feat_hw, out_size, metric, n_reweight, chunk,
                          quantized_blur=False):
@@ -107,7 +118,18 @@ class MemoryBankMethod:
         self.fix_cross_stats = fix_cross_stats
         self.class_name: Optional[str] = None
 
-        self._bank_acc: Dict[str, List[np.ndarray]] = {n: [] for n in self.bank_names}
+        # Bank rows accumulate as DEVICE arrays (f32, flattened to (rows, D))
+        # — the fit pass never reads features back to host.  Behind the
+        # remote-relay backend D2H runs at ~21 MB/s, so the old per-batch
+        # np.asarray readback of ~100 MB of patches dominated fit wall-clock
+        # (measured 470 s for a 200-sample class); on real hosts it still
+        # serialises extraction with PCIe traffic for no reason — coreset,
+        # normalisation and bank placement are all device-side anyway.
+        self._bank_acc: Dict[str, List[jnp.ndarray]] = {n: [] for n in self.bank_names}
+        # Streaming (sum, sum-of-squares, count) partials for banks that are
+        # never scored and exist ONLY to feed the (cross-wired, Q1) scalar
+        # statistics — their rows are never materialised at all.
+        self._stats_acc: Dict[str, List] = {}
         self.banks: Dict[str, jnp.ndarray] = {}
         self.bank_sizes: Dict[str, int] = {}  # true rows before pad_bank
         # per-bank (Nb, n_reweight) NN tables (ops.scoring.bank_nn_table):
@@ -123,8 +145,9 @@ class MemoryBankMethod:
         self.seg_fuser = SGDOneClassSVM(
             nu=cfg.ocsvm_nu, max_iter=cfg.ocsvm_maxiter, random_state=42,
             backend=cfg.ocsvm_backend)
-        self.s_lib: List[np.ndarray] = []
-        self.s_map_lib: List[np.ndarray] = []
+        self.s_lib: List = []        # ((1,k) host | (B,k) device, n) tuples
+        self.s_map_lib: List = []    # (gt²,k) host rows or (B,k,gt,gt) device
+        self._pending_preds: List = []  # deferred batched predictions
 
         self.image_preds: List[float] = []
         self.image_labels: List[int] = []
@@ -213,12 +236,24 @@ class MemoryBankMethod:
         return fn(self.params, *args)
 
     # ---------------- bank building ---------------------------------------
+    #: banks whose rows are never scored — only their scalar mean/std feeds
+    #: the (cross-wired) normalisation statistics.  Subclasses override;
+    #: their accumulation collapses to streaming partial sums.
+    def _stats_only_banks(self) -> Tuple[str, ...]:
+        return ()
+
     def _append(self, name: str, patch) -> None:
-        """patch: (1, Np, D) or (Np, D) device array."""
-        arr = np.asarray(patch)
-        if arr.ndim == 3:
-            arr = arr.reshape(-1, arr.shape[-1])
-        self._bank_acc[name].append(arr)
+        """patch: (B, Np, D), (Np, D) or (rows, D); device or host array.
+
+        Rows stay on device (f32).  Stats-only banks accumulate only
+        (sum, sum², count) — all device scalars, no sync."""
+        arr = jnp.asarray(patch, jnp.float32)
+        arr = arr.reshape(-1, arr.shape[-1])
+        if name in self._stats_only_banks():
+            self._stats_acc.setdefault(name, []).append(
+                (jnp.sum(arr), jnp.sum(arr * arr), arr.size))
+        else:
+            self._bank_acc[name].append(arr)
 
     def _finalize_banks(self, norm_names, coreset_names,
                         stats_pairs: Optional[Dict[str, Tuple[str, str]]] = None,
@@ -232,18 +267,35 @@ class MemoryBankMethod:
         banks that only feed the (cross-wired) statistics are never scored
         and would waste ~25 MB HBM each per class.
         """
-        cat = {n: np.concatenate(self._bank_acc[n], axis=0)
-               for n in self.bank_names}
+        cat = {n: jnp.concatenate(self._bank_acc[n], axis=0)
+               for n in self.bank_names if self._bank_acc[n]}
         if self.cfg.cache_train_features:
-            self._train_cache = cat  # raw (un-normalised) pass-1 features
+            self._train_cache = cat  # raw (un-normalised) pass-1 features,
+            #                          device-resident
         stats_pairs = stats_pairs or {n: (n, n) for n in self.bank_names}
         if self.fix_cross_stats:
             stats_pairs = {n: (n, n) for n in self.bank_names}
+
+        def bank_stats(n):
+            """(mean, std ddof=1) over ALL elements of bank ``n`` — two-pass
+            on the device array when rows were kept, else from the streamed
+            partials (f64-combined on host)."""
+            if n in cat:
+                return (float(jnp.mean(cat[n])),
+                        float(jnp.std(cat[n], ddof=1)))
+            parts = jax.device_get(self._stats_acc.get(n, []))
+            s1 = float(sum(np.float64(p[0]) for p in parts))
+            s2 = float(sum(np.float64(p[1]) for p in parts))
+            cnt = sum(int(p[2]) for p in parts)
+            mean = s1 / max(cnt, 1)
+            var = max(s2 - cnt * mean * mean, 0.0) / max(cnt - 1, 1)
+            return mean, float(np.sqrt(var))
+
+        src_stats = {m: bank_stats(m)
+                     for pair in stats_pairs.values() for m in pair}
         for n in self.bank_names:
             msrc, ssrc = stats_pairs[n]
-            mean = float(cat[msrc].mean())
-            std = float(cat[ssrc].std(ddof=1))
-            self.stats[n] = (mean, std)
+            self.stats[n] = (src_stats[msrc][0], src_stats[ssrc][1])
         place = place_names if place_names is not None else self.bank_names
         for n in self.bank_names:
             if n not in place:
@@ -251,18 +303,18 @@ class MemoryBankMethod:
             bank = cat[n]
             if n in norm_names:
                 mean, std = self.stats[n]
-                bank = (bank - mean) / std
+                bank = (bank - jnp.float32(mean)) / jnp.float32(std)
             if n in coreset_names and self.cfg.f_coreset < 1:
                 idx = coreset_select(
-                    jnp.asarray(bank), self.cfg.f_coreset,
+                    bank, self.cfg.f_coreset,
                     eps=self.cfg.coreset_eps,
                     seed=self.cfg.random_state or 0,
                     metric=self.cfg.dist_method_coreset,
                     compute_dtype=self.cfg.coreset_dtype)
                 self.coreset_idx[n] = np.asarray(idx)
-                bank = bank[self.coreset_idx[n]]
+                bank = bank[jnp.asarray(self.coreset_idx[n])]
             self.bank_sizes[n] = bank.shape[0]
-            padded = pad_bank(jnp.asarray(bank, jnp.float32))
+            padded = pad_bank(bank.astype(jnp.float32))
             from cmdiad_tpu.ops.scoring import bank_nn_table
             table = bank_nn_table(padded, k=self.cfg.n_reweight,
                                   n_valid=self.bank_sizes[n],
@@ -270,6 +322,7 @@ class MemoryBankMethod:
             self.banks[n] = self._place_bank(padded)
             self.nn_tables[n] = self._replicate_small(table)
         self._bank_acc = {n: [] for n in self.bank_names}
+        self._stats_acc = {}
 
     def _replicate_small(self, arr: jnp.ndarray) -> jnp.ndarray:
         """Replicate a small per-bank array across the active mesh (the NN
@@ -412,25 +465,110 @@ class MemoryBankMethod:
 
     # ---------------- late fusion ------------------------------------------
     def _push_late_fusion(self, s_vec: np.ndarray, s_maps: np.ndarray):
-        """s_vec (k,), s_maps (k, gt, gt) λ-weighted."""
-        self.s_lib.append(np.asarray(s_vec, np.float64).reshape(1, -1))
+        """s_vec (k,), s_maps (k, gt, gt) λ-weighted (per-sample host path)."""
+        self.s_lib.append((np.asarray(s_vec, np.float64).reshape(1, -1), 1))
         self.s_map_lib.append(
             np.asarray(s_maps, np.float64).reshape(len(s_vec), -1).T)
 
+    def _push_late_fusion_batch(self, s_vec, s_maps, n: int):
+        """s_vec (B, k), s_maps (B, k, gt, gt) — DEVICE arrays, deferred;
+        ``n`` valid rows (loader tail padding is sliced off host-side).
+
+        The calibration pass stays free of per-batch host syncs AND of
+        per-batch device slice programs; everything is fetched in one bulk
+        device_get inside ``run_late_fusion``."""
+        self.s_lib.append((s_vec, n))
+        self.s_map_lib.append(s_maps)
+
+    def _weight_stack(self, s_list, m_list, lam_s, lam_m):
+        """ONE jitted program for the λ-weight + stack tail of a batched
+        scores pass: (k×(B,), k×(B,gt,gt)) -> ((B,k), (B,k,gt,gt)).
+
+        Behind the remote relay every eager jnp op is a dispatch (and, the
+        first time, a multi-second remote-service compile) — the eager form
+        of this tail cost ~10 programs per batch shape (measured: it
+        dominated eval wall-clock at 2.3 s/batch)."""
+        key = (lam_s, lam_m)
+        cache = getattr(self, "_ws_cache", None)
+        if cache is None:
+            cache = self._ws_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            @jax.jit
+            def fn(ss, ms):
+                s_vec = jnp.stack([jnp.float32(l) * s.astype(jnp.float32)
+                                   for l, s in zip(lam_s, ss)], axis=1)
+                maps = jnp.stack([jnp.float32(l) * m.astype(jnp.float32)
+                                  for l, m in zip(lam_m, ms)], axis=1)
+                return s_vec, maps
+            cache[key] = fn
+        return fn(tuple(s_list), tuple(m_list))
+
     def run_late_fusion(self):
-        s_lib = np.concatenate(self.s_lib, axis=0)
-        s_map_lib = np.concatenate(self.s_map_lib, axis=0)
-        self.detect_fuser.fit(s_lib)
-        self.seg_fuser.fit(s_map_lib)
+        s_rows, m_rows = [], []
+        for (sv, n), mp in zip(self.s_lib, jax.device_get(self.s_map_lib)):
+            sv = np.asarray(jax.device_get(sv), np.float64)[:n]
+            mp = np.asarray(mp, np.float64)
+            s_rows.append(sv.reshape(-1, sv.shape[-1]))
+            # per-sample entries arrive pre-flattened (gt², k); batched
+            # device entries are (B, k, gt, gt) -> sample-major (n·gt², k)
+            m_rows.append(mp if mp.ndim == 2
+                          else mp[:n].transpose(0, 2, 3, 1)
+                                     .reshape(-1, mp.shape[1]))
+        self.detect_fuser.fit(np.concatenate(s_rows, axis=0))
+        self.seg_fuser.fit(np.concatenate(m_rows, axis=0))
         self.s_lib, self.s_map_lib = [], []
+        self._fuser_w = None  # refreshed lazily on the next predict batch
+
+    def _record_prediction_batch(self, s_vec, s_maps, masks, labels, paths):
+        """Batched DEFERRED prediction: s_vec (B, k) and s_maps (B, k, gt,
+        gt) stay on device; the linear OCSVM ``score_samples`` (= x·coef,
+        fusion/ocsvm.py) is applied on device so only the FUSED (B, gt, gt)
+        map ever crosses to host — and only in the bulk fetch at
+        ``flush_predictions`` time.  The eval loop therefore runs purely
+        async: no per-batch sync, no per-batch host OCSVM hop.  masks/
+        labels/paths arrive already sliced to the batch's valid rows."""
+        if getattr(self, "_fuser_w", None) is None:
+            self._fuser_w = (
+                jnp.asarray(np.asarray(self.detect_fuser.coef_).reshape(-1),
+                            jnp.float32),
+                jnp.asarray(np.asarray(self.seg_fuser.coef_).reshape(-1),
+                            jnp.float32))
+        s, fused = _fuse_predict(s_vec, s_maps, *self._fuser_w)
+        for a in (s, fused):  # start the D2H now; flush overlaps the loop
+            try:
+                a.copy_to_host_async()
+            except AttributeError:  # non-jax array (tests injecting numpy)
+                pass
+        self._pending_preds.append(
+            (s, fused, np.asarray(masks), list(labels), list(paths)))
+
+    def flush_predictions(self):
+        """Materialise deferred batched predictions (one bulk device_get)."""
+        pend = getattr(self, "_pending_preds", [])
+        if not pend:
+            return
+        self._pending_preds = []
+        fetched = jax.device_get([(s, f) for s, f, _, _, _ in pend])
+        for (s, fused), (_, _, masks, labels, paths) in zip(fetched, pend):
+            for i in range(len(labels)):  # len(labels) = n <= B
+                self._store_prediction(
+                    float(s[i]), np.asarray(fused[i], np.float64),
+                    masks[i], labels[i], paths[i])
 
     def _record_prediction(self, s_vec, s_maps, mask, label, rgb_path):
-        """Fuse λ-weighted scores through the OCSVMs and store metrics rows."""
+        """Fuse λ-weighted scores through the OCSVMs and store metrics rows
+        (per-sample host path: exact sklearn f64 semantics)."""
         s = float(self.detect_fuser.score_samples(
             np.asarray(s_vec, np.float64).reshape(1, -1))[0])
         flat = np.asarray(s_maps, np.float64).reshape(len(s_vec), -1).T
         fused_map = self.seg_fuser.score_samples(flat).reshape(
             self.cfg.gt_size, self.cfg.gt_size)
+        self._store_prediction(s, fused_map, mask, label, rgb_path)
+
+    def _store_prediction(self, s, fused_map, mask, label, rgb_path):
+        fused_map = np.asarray(fused_map).reshape(self.cfg.gt_size,
+                                                  self.cfg.gt_size)
         mask_np = np.asarray(mask).reshape(self.cfg.gt_size, self.cfg.gt_size)
         self.image_preds.append(s)
         self.image_labels.append(int(label))
@@ -450,8 +588,16 @@ class MemoryBankMethod:
             np.savez_compressed(os.path.join(out_dir, rel + ".npz"),
                                 s_map=fused_map, gt=mask_np)
 
+    def reset_predictions(self):
+        """Clear accumulated predictions (e.g. to re-run an eval pass)."""
+        self.image_preds, self.image_labels = [], []
+        self.pixel_preds, self.pixel_labels = [], []
+        self.predictions, self.gts, self.img_paths = [], [], []
+        self._pending_preds = []
+
     # ---------------- metrics ----------------------------------------------
     def calculate_metrics(self) -> dict:
+        self.flush_predictions()
         image_preds = np.asarray(self.image_preds)
         image_labels = np.asarray(self.image_labels)
         if self.cfg.save_raw_results:

@@ -52,29 +52,33 @@ class BatchedScoresMixin:
         n = batch["_n"]
         out = self._batch_extract(batch)
         for bank_name, key, _, _ in self._batch_modalities():
-            feats = np.asarray(out[key][:n])
-            self._bank_acc[bank_name].append(
-                feats.reshape(-1, feats.shape[-1]))
+            feats = out[key]
+            if n != feats.shape[0]:  # slice only the padded tail batch
+                feats = feats[:n]
+            self._append(bank_name, feats)   # stays on device
 
     def _scores_batch(self, batch):
+        """-> (s_vec (B, k), maps (B, k, gt, gt)) DEVICE arrays — the whole
+        batched eval path is async (readback deferred to the bulk flush,
+        methods.base) and the λ-weight/stack tail is ONE jitted dispatch."""
         out = self._batch_extract(batch)
-        s_cols, m_cols = [], []
-        for bank_name, key, lam_s, lam_m in self._batch_modalities():
-            s, m = self.score_patch_batch(out[key], bank_name)
-            s_cols.append(lam_s * np.asarray(s))
-            m_cols.append(lam_m * np.asarray(m))
-        return np.stack(s_cols, axis=1), np.stack(m_cols, axis=1)
+        mods = self._batch_modalities()
+        cols = [self.score_patch_batch(out[key], bank_name)
+                for bank_name, key, _, _ in mods]
+        return self._weight_stack(
+            [c[0] for c in cols], [c[1] for c in cols],
+            tuple(m[2] for m in mods), tuple(m[3] for m in mods))
 
     def add_batch_to_late_fusion_mem_bank(self, batch):
         s_vec, maps = self._scores_batch(batch)
-        for i in range(batch["_n"]):
-            self._push_late_fusion(s_vec[i], maps[i])
+        self._push_late_fusion_batch(s_vec, maps, batch["_n"])
 
     def predict_batch(self, batch):
         s_vec, maps = self._scores_batch(batch)
-        for i in range(batch["_n"]):
-            self._record_prediction(s_vec[i], maps[i], batch["gt"][i],
-                                    batch["label"][i], batch["rgb_path"][i])
+        n = batch["_n"]
+        self._record_prediction_batch(s_vec, maps, batch["gt"][:n],
+                                      batch["label"][:n],
+                                      batch["rgb_path"][:n])
 
     # ---- cached late fusion (cfg.cache_train_features) ---------------------
     def supports_cached_late_fusion(self) -> bool:
@@ -95,18 +99,16 @@ class BatchedScoresMixin:
 
         for start in range(0, n_samples, batch_size):
             stop = min(start + batch_size, n_samples)
-            s_cols, m_cols = [], []
-            for bank_name, key, lam_s, lam_m in mods:
+            cols = []
+            for bank_name, key, _, _ in mods:
                 t = tokens[key]
                 feats = self._train_cache[bank_name][start * t: stop * t]
-                patches = jnp.asarray(feats.reshape(stop - start, t, -1))
-                s, m = self.score_patch_batch(patches, bank_name)
-                s_cols.append(lam_s * np.asarray(s))
-                m_cols.append(lam_m * np.asarray(m))
-            s_vec = np.stack(s_cols, axis=1)
-            maps = np.stack(m_cols, axis=1)
-            for i in range(stop - start):
-                self._push_late_fusion(s_vec[i], maps[i])
+                patches = jnp.asarray(feats).reshape(stop - start, t, -1)
+                cols.append(self.score_patch_batch(patches, bank_name))
+            s_vec, maps = self._weight_stack(
+                [c[0] for c in cols], [c[1] for c in cols],
+                tuple(m[2] for m in mods), tuple(m[3] for m in mods))
+            self._push_late_fusion_batch(s_vec, maps, stop - start)
         self._train_cache = None
         self.run_late_fusion()
 
@@ -366,12 +368,17 @@ class HallucinationMethod(MemoryBankMethod):
         self._append("xyz", out["xyz_patch"])
         self._append("fusion", hall)
 
+    def _stats_only_banks(self):
+        # Only the main + fusion banks are ever scored; the other modality
+        # exists purely to feed the cross-wired statistics, so its rows are
+        # never materialised — only streamed (sum, sum², count) partials
+        # (saves ~5 GB HBM and the full accumulation at 500-sample classes).
+        return ("xyz",) if self.cfg.main_modality == "rgb" else ("rgb",)
+
     def run_coreset(self):
         main = self.cfg.main_modality
         # Q1 wiring (multiple_features.py:372-377): means from the xyz bank,
-        # stds from the rgb bank, for all three stat sets.  Only the main +
-        # fusion banks are ever scored; the other modality's accumulator
-        # exists purely to feed the cross-wired statistics.
+        # stds from the rgb bank, for all three stat sets.
         self._finalize_banks(
             norm_names=(main, "fusion"), coreset_names=(main, "fusion"),
             stats_pairs={"xyz": ("xyz", "rgb"), "rgb": ("xyz", "rgb"),
@@ -421,8 +428,9 @@ class HallucinationMethod(MemoryBankMethod):
         hall = self._hall(batch, out)
         for name, arr in (("rgb", out["rgb_patch"]),
                           ("xyz", out["xyz_patch"]), ("fusion", hall)):
-            a = np.asarray(arr[:n])
-            self._bank_acc[name].append(a.reshape(-1, a.shape[-1]))
+            if n != arr.shape[0]:  # slice only the padded tail batch
+                arr = arr[:n]
+            self._append(name, arr)   # device; non-main -> streamed stats
 
     def _scores_batch(self, batch):
         out = self._inference_extract(batch)
@@ -431,22 +439,20 @@ class HallucinationMethod(MemoryBankMethod):
         s_m, m_m = self.score_patch_batch(out[key], main)
         s_f, m_f = self.score_patch_batch(hall, "fusion")
         c = self.cfg
-        s_vec = np.stack([lam_s * np.asarray(s_m),
-                          c.fusion_s_lambda * np.asarray(s_f)], axis=1)
-        maps = np.stack([lam_m * np.asarray(m_m),
-                         c.fusion_smap_lambda * np.asarray(m_f)], axis=1)
-        return s_vec, maps
+        return self._weight_stack(
+            [s_m, s_f], [m_m, m_f],
+            (lam_s, c.fusion_s_lambda), (lam_m, c.fusion_smap_lambda))
 
     def add_batch_to_late_fusion_mem_bank(self, batch):
         s_vec, maps = self._scores_batch(batch)
-        for i in range(batch["_n"]):
-            self._push_late_fusion(s_vec[i], maps[i])
+        self._push_late_fusion_batch(s_vec, maps, batch["_n"])
 
     def predict_batch(self, batch):
         s_vec, maps = self._scores_batch(batch)
-        for i in range(batch["_n"]):
-            self._record_prediction(s_vec[i], maps[i], batch["gt"][i],
-                                    batch["label"][i], batch["rgb_path"][i])
+        n = batch["_n"]
+        self._record_prediction_batch(s_vec, maps, batch["gt"][:n],
+                                      batch["label"][:n],
+                                      batch["rgb_path"][:n])
 
 
 class HallucinationFromFeatureMethod(HallucinationMethod):

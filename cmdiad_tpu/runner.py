@@ -106,6 +106,10 @@ class CMDIADRunner:
                 self._samples("test", class_name, test_samples), bs):
             self.method.predict_batch(batch)
             n += batch["_n"]
+        # materialise the deferred (async-dispatched) predictions inside the
+        # timed region — eval_images_per_s includes the device work + D2H
+        if hasattr(self.method, "flush_predictions"):
+            self.method.flush_predictions()
         self.timings["eval_s"] = time.perf_counter() - t0
         self.timings["eval_images_per_s"] = n / max(self.timings["eval_s"], 1e-9)
         metrics = self.method.calculate_metrics()
