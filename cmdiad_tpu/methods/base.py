@@ -65,6 +65,29 @@ def _score_batch(patches, bank, mean, std, n_valid, nn_table, feat_hw,
 
 
 @jax.jit
+def _cat_mean_std(parts):
+    """Concat accumulated bank chunks + element mean/std(ddof=1), fused."""
+    cat = jnp.concatenate(parts, axis=0)
+    return cat, jnp.mean(cat), jnp.std(cat, ddof=1)
+
+
+@jax.jit
+def _normalize(bank, mean, std):
+    return (bank - mean) / std
+
+
+@jax.jit
+def _gather_pad(bank, idx):
+    """Coreset row gather + f32 cast + bucket pad as one program."""
+    return pad_bank(bank[idx].astype(jnp.float32))
+
+
+@jax.jit
+def _pad_f32(bank):
+    return pad_bank(bank.astype(jnp.float32))
+
+
+@jax.jit
 def _fuse_predict(s_vec, s_maps, wd, ws):
     """Device-side linear-OCSVM fusion (one dispatch per predict batch):
     ``score_samples`` of fusion/ocsvm.py is exactly x·coef for both fusers,
@@ -267,8 +290,15 @@ class MemoryBankMethod:
         banks that only feed the (cross-wired) statistics are never scored
         and would waste ~25 MB HBM each per class.
         """
-        cat = {n: jnp.concatenate(self._bank_acc[n], axis=0)
-               for n in self.bank_names if self._bank_acc[n]}
+        # Every multi-op stage below runs as ONE jitted program — behind the
+        # remote relay each eager op on a ~2 GB bank is a dispatch plus a
+        # first-use remote compile (measured: the eager concat/stats/
+        # normalize/gather/pad chain cost minutes per class in compiles).
+        cat, cat_stats = {}, {}
+        for n in self.bank_names:
+            if self._bank_acc[n]:
+                cat[n], m, s = _cat_mean_std(tuple(self._bank_acc[n]))
+                cat_stats[n] = (m, s)
         if self.cfg.cache_train_features:
             self._train_cache = cat  # raw (un-normalised) pass-1 features,
             #                          device-resident
@@ -277,12 +307,11 @@ class MemoryBankMethod:
             stats_pairs = {n: (n, n) for n in self.bank_names}
 
         def bank_stats(n):
-            """(mean, std ddof=1) over ALL elements of bank ``n`` — two-pass
-            on the device array when rows were kept, else from the streamed
+            """(mean, std ddof=1) over ALL elements of bank ``n`` — from the
+            jitted two-pass when rows were kept, else from the streamed
             partials (f64-combined on host)."""
             if n in cat:
-                return (float(jnp.mean(cat[n])),
-                        float(jnp.std(cat[n], ddof=1)))
+                return float(cat_stats[n][0]), float(cat_stats[n][1])
             parts = jax.device_get(self._stats_acc.get(n, []))
             s1 = float(sum(np.float64(p[0]) for p in parts))
             s2 = float(sum(np.float64(p[1]) for p in parts))
@@ -303,7 +332,7 @@ class MemoryBankMethod:
             bank = cat[n]
             if n in norm_names:
                 mean, std = self.stats[n]
-                bank = (bank - jnp.float32(mean)) / jnp.float32(std)
+                bank = _normalize(bank, jnp.float32(mean), jnp.float32(std))
             if n in coreset_names and self.cfg.f_coreset < 1:
                 idx = coreset_select(
                     bank, self.cfg.f_coreset,
@@ -312,9 +341,11 @@ class MemoryBankMethod:
                     metric=self.cfg.dist_method_coreset,
                     compute_dtype=self.cfg.coreset_dtype)
                 self.coreset_idx[n] = np.asarray(idx)
-                bank = bank[jnp.asarray(self.coreset_idx[n])]
-            self.bank_sizes[n] = bank.shape[0]
-            padded = pad_bank(bank.astype(jnp.float32))
+                padded = _gather_pad(bank, idx)
+                self.bank_sizes[n] = int(idx.shape[0])
+            else:
+                padded = _pad_f32(bank)
+                self.bank_sizes[n] = bank.shape[0]
             from cmdiad_tpu.ops.scoring import bank_nn_table
             table = bank_nn_table(padded, k=self.cfg.n_reweight,
                                   n_valid=self.bank_sizes[n],
@@ -535,11 +566,9 @@ class MemoryBankMethod:
                 jnp.asarray(np.asarray(self.seg_fuser.coef_).reshape(-1),
                             jnp.float32))
         s, fused = _fuse_predict(s_vec, s_maps, *self._fuser_w)
-        for a in (s, fused):  # start the D2H now; flush overlaps the loop
-            try:
-                a.copy_to_host_async()
-            except AttributeError:  # non-jax array (tests injecting numpy)
-                pass
+        # NOTE: no copy_to_host_async here — starting the D2H mid-loop
+        # contends with dispatch RPCs on the relay channel (measured: warm
+        # eval 1.7 s -> 2.4 s); the bulk fetch at flush time wins.
         self._pending_preds.append(
             (s, fused, np.asarray(masks), list(labels), list(paths)))
 

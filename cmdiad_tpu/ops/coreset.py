@@ -34,14 +34,42 @@ def johnson_lindenstrauss_min_dim(n_samples: int, eps: float) -> int:
     return int(4.0 * math.log(n_samples) / denom)
 
 
+@functools.partial(jax.jit, static_argnames=("n_components", "pad_lanes"))
+def _srp_project(x: jnp.ndarray, seed: jnp.ndarray, n_components: int,
+                 pad_lanes: bool = False) -> jnp.ndarray:
+    """Jitted projection core.  ``pad_lanes`` zero-pads the projection
+    matrix's output columns up to a multiple of 128: extra all-zero feature
+    columns contribute exactly nothing to every supported distance
+    (l2/l1/cos/dot; the shared columns shift only by the matmul's tiling
+    reassociation, ULP-level), and keep XLA:TPU off a measured compile cliff — the (627200, 768) ×
+    (768, 329) matmul took ~410 s to compile on v5e (odd output lane count
+    at huge M), the same matmul padded to 384 output lanes compiles in
+    seconds.  The greedy loop's HBM layout pads the minor dim to 128 lanes
+    anyway, so the padded columns cost no extra bandwidth."""
+    d = x.shape[1]
+    density = 1.0 / math.sqrt(d)
+    scale = math.sqrt(1.0 / density) / math.sqrt(n_components)
+    key = jax.random.PRNGKey(seed)
+    u = jax.random.uniform(key, (d, n_components))
+    proj = jnp.where(u < density / 2.0, -scale,
+                     jnp.where(u < density, scale, 0.0)).astype(jnp.float32)
+    if pad_lanes and n_components % 128:
+        proj = jnp.pad(proj, ((0, 0), (0, 128 - n_components % 128)))
+    return jnp.dot(x.astype(jnp.float32), proj,
+                   preferred_element_type=jnp.float32)
+
+
 def sparse_random_projection(x: jnp.ndarray, eps: float = 0.9,
-                             seed: int = 0, n_components: int | None = None):
+                             seed: int = 0, n_components: int | None = None,
+                             pad_lanes: bool = False):
     """Achlioptas/Li sparse random projection, density = 1/sqrt(D).
 
     Args:
       x: (N, D) bank.
+      pad_lanes: zero-pad the output dim to a 128 multiple (see
+        ``_srp_project`` — distance-exact, avoids an XLA compile cliff).
     Returns:
-      (N, D') projected bank (float32).
+      (N, D') projected bank (float32); D' = JL dim (padded if requested).
     Raises:
       ValueError if the JL target dimension exceeds D (sklearn raises too;
       the reference catches it and keeps the unprojected bank,
@@ -53,14 +81,8 @@ def sparse_random_projection(x: jnp.ndarray, eps: float = 0.9,
     if n_components > d:
         raise ValueError(
             f"JL dim {n_components} > input dim {d}; increase eps")
-    density = 1.0 / math.sqrt(d)
-    scale = math.sqrt(1.0 / density) / math.sqrt(n_components)
-    key = jax.random.PRNGKey(seed)
-    u = jax.random.uniform(key, (d, n_components))
-    proj = jnp.where(u < density / 2.0, -scale,
-                     jnp.where(u < density, scale, 0.0)).astype(jnp.float32)
-    return jnp.dot(x.astype(jnp.float32), proj,
-                   preferred_element_type=jnp.float32)
+    return _srp_project(x, jnp.uint32(seed), n_components,
+                        pad_lanes=pad_lanes)
 
 
 def _dist_to(z: jnp.ndarray, point: jnp.ndarray, metric: str) -> jnp.ndarray:
@@ -111,14 +133,41 @@ def greedy_kcenter(z: jnp.ndarray, n_select: int, metric: str = "l2",
 
 def coreset_select(bank: jnp.ndarray, f_coreset: float, eps: float = 0.9,
                    seed: int = 0, metric: str = "l2",
-                   compute_dtype: str = "FP16") -> jnp.ndarray:
+                   compute_dtype: str = "FP16",
+                   bucket_rows: int = 65536,
+                   bucket_iters: int = 8192) -> jnp.ndarray:
     """Full reference pipeline: SRP (with fallback) + greedy k-center.
+
+    Shape bucketing: greedy farthest-first selection is PREFIX-STABLE, so
+    the compiled scan can be shared across classes of different bank sizes
+    by (a) padding the projected bank's rows up to ``bucket_rows`` with
+    copies of row 0 — a duplicate of the first center holds running
+    min-distance 0 under every supported metric (l2/l1/cos) and can never
+    win the argmax while a real candidate remains — and (b) rounding the
+    iteration count up to ``bucket_iters`` and slicing the extra picks off.
+    Selection is exactly the unbucketed prefix; without this, every class
+    recompiles the 60k-iteration scan (remote compiles on this backend are
+    multi-second to multi-minute and bypass the persistent cache).
 
     Returns selected row indices (int32, length int(f_coreset * N)).
     """
-    n_select = int(f_coreset * bank.shape[0])
+    n = bank.shape[0]
+    n_select = int(f_coreset * n)
     try:
-        z = sparse_random_projection(bank, eps=eps, seed=seed)
+        # pad_lanes: distance-exact zero feature columns (see _srp_project);
+        # also buckets the projected width across classes (JL dims land in
+        # the same 128 multiple for a wide range of N)
+        z = sparse_random_projection(bank, eps=eps, seed=seed, pad_lanes=True)
     except ValueError:
         z = bank.astype(jnp.float32)
-    return greedy_kcenter(z, n_select, metric=metric, compute_dtype=compute_dtype)
+    if metric in ("l2", "l1", "cos_dist") and bucket_rows > 1:
+        pad = (-n) % bucket_rows
+        if pad:
+            z = jnp.concatenate(
+                [z, jnp.broadcast_to(z[0], (pad, z.shape[1]))], axis=0)
+        iters = min(-(-n_select // bucket_iters) * bucket_iters, n)
+    else:
+        iters = n_select
+    idxs = greedy_kcenter(z, iters, metric=metric,
+                          compute_dtype=compute_dtype)
+    return idxs[:n_select]

@@ -119,6 +119,36 @@ def test_sparse_random_projection_shapes(rng):
         coreset.sparse_random_projection(jnp.asarray(x), eps=0.1)
 
 
+def test_srp_lane_padding_is_distance_exact(rng):
+    """pad_lanes appends all-zero columns (exactly zero -> distances over
+    the extra dims contribute nothing); the shared columns agree up to the
+    matmul's tiling reassociation (ULP-level)."""
+    x = rng.normal(size=(500, 512)).astype(np.float32)
+    base = np.asarray(coreset.sparse_random_projection(
+        jnp.asarray(x), eps=0.9, seed=0))
+    padded = np.asarray(coreset.sparse_random_projection(
+        jnp.asarray(x), eps=0.9, seed=0, pad_lanes=True))
+    assert padded.shape[1] % 128 == 0
+    np.testing.assert_allclose(padded[:, :base.shape[1]], base,
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(padded[:, base.shape[1]:], 0.0)
+
+
+@pytest.mark.parametrize("metric", ["l2", "l1", "cos_dist"])
+def test_coreset_select_bucketing_prefix_stable(rng, metric):
+    """Row padding with copies of row 0 + iteration rounding (the shared-
+    program shape buckets) select exactly the unbucketed prefix."""
+    x = rng.normal(size=(300, 64)).astype(np.float32) + 1.0
+    ref = np.asarray(coreset.coreset_select(
+        jnp.asarray(x), 0.1, metric=metric, compute_dtype="FP32",
+        bucket_rows=1, bucket_iters=1))          # unbucketed
+    got = np.asarray(coreset.coreset_select(
+        jnp.asarray(x), 0.1, metric=metric, compute_dtype="FP32",
+        bucket_rows=512, bucket_iters=64))       # padded rows + extra iters
+    np.testing.assert_array_equal(got, ref)
+    assert (got < 300).all()                     # never a padded row
+
+
 def test_pallas_min_dist_matches_jnp(rng):
     """Fused streaming kernel (interpret mode off-TPU) vs the jnp scan."""
     from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
