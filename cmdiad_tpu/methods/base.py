@@ -72,6 +72,34 @@ def _cat_mean_std(parts):
 
 
 @jax.jit
+def _flatten_f32(arr):
+    """(B, Np, D)/(Np, D) -> (rows, D) f32 in one dispatch."""
+    return arr.astype(jnp.float32).reshape(-1, arr.shape[-1])
+
+
+@jax.jit
+def _sum_sumsq(arr):
+    """Streaming-stats partials (sum, sum of squares) in one dispatch."""
+    a = arr.astype(jnp.float32)
+    return jnp.sum(a), jnp.sum(a * a)
+
+
+@functools.lru_cache(maxsize=None)
+def _weight_stack_fn(lam_s, lam_m):
+    """Jitted λ-weight + stack tail, cached at MODULE level on the λ tuples
+    so a fresh method per class (run_detection) reuses the traced program —
+    behind the relay every re-trace is a multi-second remote compile."""
+    @jax.jit
+    def fn(ss, ms):
+        s_vec = jnp.stack([jnp.float32(l) * s.astype(jnp.float32)
+                           for l, s in zip(lam_s, ss)], axis=1)
+        maps = jnp.stack([jnp.float32(l) * m.astype(jnp.float32)
+                          for l, m in zip(lam_m, ms)], axis=1)
+        return s_vec, maps
+    return fn
+
+
+@jax.jit
 def _normalize(bank, mean, std):
     return (bank - mean) / std
 
@@ -269,14 +297,14 @@ class MemoryBankMethod:
         """patch: (B, Np, D), (Np, D) or (rows, D); device or host array.
 
         Rows stay on device (f32).  Stats-only banks accumulate only
-        (sum, sum², count) — all device scalars, no sync."""
-        arr = jnp.asarray(patch, jnp.float32)
-        arr = arr.reshape(-1, arr.shape[-1])
+        (sum, sum², count) — all device scalars, no sync.  Each branch is
+        ONE jitted dispatch per batch (eager-op remote compiles, CLAUDE.md)."""
+        arr = jnp.asarray(patch)
         if name in self._stats_only_banks():
-            self._stats_acc.setdefault(name, []).append(
-                (jnp.sum(arr), jnp.sum(arr * arr), arr.size))
+            s1, s2 = _sum_sumsq(arr)
+            self._stats_acc.setdefault(name, []).append((s1, s2, arr.size))
         else:
-            self._bank_acc[name].append(arr)
+            self._bank_acc[name].append(_flatten_f32(arr))
 
     def _finalize_banks(self, norm_names, coreset_names,
                         stats_pairs: Optional[Dict[str, Tuple[str, str]]] = None,
@@ -299,9 +327,17 @@ class MemoryBankMethod:
             if self._bank_acc[n]:
                 cat[n], m, s = _cat_mean_std(tuple(self._bank_acc[n]))
                 cat_stats[n] = (m, s)
-        if self.cfg.cache_train_features:
-            self._train_cache = cat  # raw (un-normalised) pass-1 features,
-            #                          device-resident
+                self._bank_acc[n] = []  # free the chunk copies NOW — holding
+                # chunks + cat (+ the normalized/padded copies below) would
+                # peak at 2-3x total bank bytes in HBM (OOM at 500-sample
+                # MTFI classes)
+        keep_cache = (self.cfg.cache_train_features
+                      and hasattr(self, "run_late_fusion_from_cache"))
+        if keep_cache:
+            # raw (un-normalised) pass-1 features, device-resident; only for
+            # methods that actually consume the cache (otherwise multi-GB of
+            # raw banks would stay pinned in HBM for the whole class)
+            self._train_cache = cat
         stats_pairs = stats_pairs or {n: (n, n) for n in self.bank_names}
         if self.fix_cross_stats:
             stats_pairs = {n: (n, n) for n in self.bank_names}
@@ -313,6 +349,10 @@ class MemoryBankMethod:
             if n in cat:
                 return float(cat_stats[n][0]), float(cat_stats[n][1])
             parts = jax.device_get(self._stats_acc.get(n, []))
+            if not parts:
+                raise ValueError(
+                    f"bank {n!r} has no accumulated rows or streamed stats "
+                    "(is a stats source bank never fed?)")
             s1 = float(sum(np.float64(p[0]) for p in parts))
             s2 = float(sum(np.float64(p[1]) for p in parts))
             cnt = sum(int(p[2]) for p in parts)
@@ -352,6 +392,8 @@ class MemoryBankMethod:
                                   metric=self.cfg.dist_method_s)
             self.banks[n] = self._place_bank(padded)
             self.nn_tables[n] = self._replicate_small(table)
+            if not keep_cache:
+                del cat[n]  # free the raw concat as soon as it's placed
         self._bank_acc = {n: [] for n in self.bank_names}
         self._stats_acc = {}
 
@@ -518,22 +560,9 @@ class MemoryBankMethod:
         Behind the remote relay every eager jnp op is a dispatch (and, the
         first time, a multi-second remote-service compile) — the eager form
         of this tail cost ~10 programs per batch shape (measured: it
-        dominated eval wall-clock at 2.3 s/batch)."""
-        key = (lam_s, lam_m)
-        cache = getattr(self, "_ws_cache", None)
-        if cache is None:
-            cache = self._ws_cache = {}
-        fn = cache.get(key)
-        if fn is None:
-            @jax.jit
-            def fn(ss, ms):
-                s_vec = jnp.stack([jnp.float32(l) * s.astype(jnp.float32)
-                                   for l, s in zip(lam_s, ss)], axis=1)
-                maps = jnp.stack([jnp.float32(l) * m.astype(jnp.float32)
-                                  for l, m in zip(lam_m, ms)], axis=1)
-                return s_vec, maps
-            cache[key] = fn
-        return fn(tuple(s_list), tuple(m_list))
+        dominated eval wall-clock at 2.3 s/batch).  The program is cached
+        at module level on the λ tuples (``_weight_stack_fn``)."""
+        return _weight_stack_fn(lam_s, lam_m)(tuple(s_list), tuple(m_list))
 
     def run_late_fusion(self):
         s_rows, m_rows = [], []

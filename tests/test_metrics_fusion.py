@@ -112,3 +112,87 @@ def test_ocsvm_jax_backend_score_equivalence(rng):
     d_auroc = abs(roc_auc_score(y, scores["sklearn"])
                   - roc_auc_score(y, scores["jax"]))
     assert d_auroc < 1e-3, d_auroc
+
+
+def test_reset_predictions_clears_accumulators():
+    """Contract relied on by warm-eval re-runs (benchmarks/system_throughput)
+    and any caller re-evaluating a fitted method: reset_predictions clears
+    every prediction accumulator (banks/fusers untouched)."""
+    from cmdiad_tpu.methods.base import MemoryBankMethod
+
+    m = MemoryBankMethod.__new__(MemoryBankMethod)
+    m.image_preds, m.image_labels = [1.0], [1]
+    m.pixel_preds, m.pixel_labels = [np.zeros(4)], [np.zeros(4)]
+    m.predictions, m.gts = [np.zeros((2, 2))], [np.zeros((2, 2))]
+    m.img_paths, m._pending_preds = ["p"], [("sentinel",)]
+    m.banks = {"rgb": "untouched"}
+    m.reset_predictions()
+    for attr in ("image_preds", "image_labels", "pixel_preds",
+                 "pixel_labels", "predictions", "gts", "img_paths",
+                 "_pending_preds"):
+        assert getattr(m, attr) == [], attr
+    assert m.banks == {"rgb": "untouched"}
+
+
+def test_streamed_stats_only_bank_matches_numpy_oracle(rng):
+    """The streaming (sum, sum-squared, count) path used for stats-only
+    banks (methods.base._append / _finalize_banks.bank_stats) vs numpy's
+    two-pass mean/std(ddof=1) — including a cancellation-hostile case
+    (|mean| >> std), since the single-pass variance form loses precision
+    there and the f32 per-chunk partials bound accuracy."""
+    import jax.numpy as jnp
+    from cmdiad_tpu.config import Config
+    from cmdiad_tpu.methods.base import MemoryBankMethod
+
+    for mean, std, rtol in ((0.0, 1.0, 1e-5), (5.0, 1.0, 1e-5),
+                            (5.0, 0.01, 2e-2)):
+        m = MemoryBankMethod.__new__(MemoryBankMethod)
+        m.cfg = Config(dataset_path=".", f_coreset=1.0,
+                       cache_train_features=False)
+        m.fix_cross_stats = False
+        m.bank_names = ("rgb", "xyz")
+        m._bank_acc = {"rgb": [], "xyz": []}
+        m._stats_acc = {}
+        m._stats_only_banks = lambda: ("xyz",)
+        m.stats, m.banks, m.bank_sizes = {}, {}, {}
+        m.coreset_idx, m.nn_tables = {}, {}
+
+        chunks = [rng.normal(mean, std, size=(4096, 32)).astype(np.float32)
+                  for _ in range(6)]
+        for c in chunks:
+            m._append("xyz", c)              # streamed partials
+            m._append("rgb", jnp.asarray(c))  # materialised rows
+        # cross-wire BOTH stat sources to the streamed xyz bank
+        m._finalize_banks(norm_names=(), coreset_names=(),
+                          stats_pairs={"rgb": ("xyz", "xyz"),
+                                       "xyz": ("xyz", "xyz")},
+                          place_names=("rgb",))
+        all_vals = np.concatenate([c.reshape(-1) for c in chunks])
+        want = (float(all_vals.mean()), float(all_vals.std(ddof=1)))
+        got = m.stats["rgb"]
+        np.testing.assert_allclose(got[0], want[0], rtol=rtol,
+                                   atol=rtol * std)
+        np.testing.assert_allclose(got[1], want[1], rtol=rtol)
+        # the materialised two-pass path must agree too (same sources)
+        assert m.stats["xyz"] == m.stats["rgb"]
+
+
+def test_stats_source_bank_never_fed_raises():
+    """A stats_pairs source with neither rows nor streamed partials must
+    fail loudly (silent mean=0/std=0 would NaN the normalised banks)."""
+    import pytest
+    from cmdiad_tpu.config import Config
+    from cmdiad_tpu.methods.base import MemoryBankMethod
+
+    m = MemoryBankMethod.__new__(MemoryBankMethod)
+    m.cfg = Config(dataset_path=".", f_coreset=1.0,
+                   cache_train_features=False)
+    m.fix_cross_stats = False
+    m.bank_names = ("rgb",)
+    m._bank_acc = {"rgb": []}
+    m._stats_acc = {}
+    m._stats_only_banks = lambda: ()
+    m.stats, m.banks, m.bank_sizes = {}, {}, {}
+    m.coreset_idx, m.nn_tables = {}, {}
+    with pytest.raises(ValueError, match="no accumulated rows"):
+        m._finalize_banks(norm_names=(), coreset_names=())
