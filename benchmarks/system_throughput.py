@@ -45,6 +45,9 @@ def main():
     batch = int(os.environ.get("CMDIAD_SYS_BATCH", "8"))
     dtype = os.environ.get("CMDIAD_SYS_DTYPE", "bfloat16")
     use_flash = os.environ.get("CMDIAD_SYS_FLASH", "0") == "1"
+    size = int(os.environ.get("CMDIAD_SYS_SIZE", "224"))  # 64 = CPU smoke
+    if os.environ.get("CMDIAD_SYS_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent XLA cache: the programs are the production ones
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "cmdiad_jax")
@@ -59,13 +62,19 @@ def main():
     tmp = tempfile.mkdtemp(prefix="cmdiad_sys_")
     t0 = time.perf_counter()
     root = make_synthetic_dataset(
-        tmp, class_names=tuple(classes), size=224, n_train=n_train,
+        tmp, class_names=tuple(classes), size=size, n_train=n_train,
         n_test_good=n_test // 2, n_test_bad=n_test - n_test // 2)
     gen_s = time.perf_counter() - t0
 
-    cfg = Config(dataset_path=root, method_name="DINO+Point_MAE",
-                 batch_size=batch, compute_dtype=dtype, use_flash=use_flash,
-                 f_coreset=0.1, max_sample=500)
+    kwargs = dict(dataset_path=root, method_name="DINO+Point_MAE",
+                  batch_size=batch, compute_dtype=dtype, use_flash=use_flash,
+                  f_coreset=0.1, max_sample=500,
+                  rgb_size=size, xyz_size=size, gt_size=size)
+    if size != 224:  # CPU smoke: the tiny backbones (named config is 224²)
+        kwargs.update(rgb_backbone_name="tiny", xyz_backbone_name="tiny",
+                      num_group=32, group_size=16, use_pallas=False,
+                      f_coreset=0.5)
+    cfg = Config(**kwargs)
 
     if n_classes > 1:
         # the production multi-class path: ONE shared backbone, classes
