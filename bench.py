@@ -168,14 +168,17 @@ def measure(bank_rows: int = 65536, batch: int = 8,
             # multiple of 1024 and >= 32768 — ops/scoring.py) its distance
             # matmul must be added by hand.
             if jax.default_backend() == "tpu":
+                from cmdiad_tpu.ops.scoring import use_scoring_kernel
                 for nq, rows in ((56 * 56, xyz_rows), (grid * grid, rgb_rows)):
-                    if rows % 1024 == 0 and rows >= 32768:
+                    if use_scoring_kernel(rows, "l2"):  # the kernel's gate
                         nq_pad = -(-nq // 128) * 128
                         flops_per_img += 2.0 * nq_pad * rows * 768
                 if use_flash:
                     # fused attention is a custom call too: QK^T + PV at the
-                    # kernel's padded shapes (padding is real MXU work)
-                    from cmdiad_tpu.ops.flash_attn import _seq_pad
+                    # kernel's padded shapes (padding is real MXU work) —
+                    # the pad rules are imported so this accounting cannot
+                    # drift from the kernel
+                    from cmdiad_tpu.ops.flash_attn import _seq_pad, _head_pad
                     vc, pc_cfg = backbone.vit_config, backbone.pm_config
                     for n_tok, heads, layers, hd in (
                             (vc.grid * vc.grid + 1, vc.num_heads, vc.depth,
@@ -185,8 +188,7 @@ def measure(bank_rows: int = 65536, batch: int = 8,
                              pc_cfg.num_heads, pc_cfg.depth,
                              pc_cfg.trans_dim // pc_cfg.num_heads)):
                         n_pad = _seq_pad(n_tok)
-                        d_pad = (-(-hd // 128) * 128 if dtype == "bfloat16"
-                                 else hd)
+                        d_pad = _head_pad(hd, dtype)
                         flops_per_img += (layers * heads
                                           * 2 * 2.0 * n_pad * n_pad * d_pad)
     except Exception:

@@ -123,6 +123,14 @@ def _seq_pad(n: int) -> int:
     return pow2 if pow2 * 3 <= ceil128 * 4 else ceil128
 
 
+def _head_pad(d: int, dtype) -> int:
+    """Head-dim the kernel actually runs: bf16 tiles must be full-lane
+    (64-lane-minor bf16 is a measured ~10x Mosaic compile cliff); f32
+    handles d=64 minors fine.  bench.py's FLOPs correction imports this so
+    its padded-matmul accounting cannot drift from the kernel."""
+    return (-(-d // 128) * 128) if jnp.dtype(dtype) == jnp.bfloat16 else d
+
+
 def fused_attention(q, k, v, scale: float, use_flash: bool = True):
     """Multi-head attention: q, k, v (B, N, H, D) -> (B, N, H, D).
 
@@ -142,8 +150,7 @@ def fused_attention(q, k, v, scale: float, use_flash: bool = True):
         return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
 
     n_pad = _seq_pad(n)
-    # bf16 tiles must be full-lane; f32 handles d=64 minors fine
-    d_pad = (-(-d // 128) * 128) if q.dtype == jnp.bfloat16 else d
+    d_pad = _head_pad(d, q.dtype)
 
     def to_heads(x):
         x = x.transpose(0, 2, 1, 3).reshape(b * h, n, d)

@@ -85,7 +85,13 @@ def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, mind_in_ref,
     mind0 = mind_in_ref[0, 0]                                  # (S, 128)
     mind_scratch[:, :] = mind0
     idx_ref[0, 0, :] = jnp.zeros((num_samples,), jnp.int32)
-    start = jnp.min(jnp.where(mind0 >= 0.0, flat_idx, jnp.int32(p_total)))
+    # p_total sentinel = "no valid point"; clamp an all-invalid sample into
+    # range (jnp path seeds index 0 there too via argmax-of-all-false) —
+    # otherwise the pl.ds row fetch below reads past the (P, 8) block on
+    # the compiled path (unchecked OOB; interpret mode clamps — divergent)
+    start = jnp.minimum(
+        jnp.min(jnp.where(mind0 >= 0.0, flat_idx, jnp.int32(p_total))),
+        jnp.int32(p_total - 1))
 
     def body(i, last_idx):
         # record the point selected at step i (one-hot vector write)

@@ -166,6 +166,16 @@ def bank_nn_table(bank: jnp.ndarray, k: int = 3, n_valid=None,
     return lax.map(one, bank.reshape(nb // c, c, d)).reshape(nb, k)
 
 
+def use_scoring_kernel(rows: int, metric: str) -> bool:
+    """THE routing gate for the Mosaic streaming bank-min kernel: l2 on TPU
+    with 1024-aligned rows above the measured ~32k-row jnp/kernel crossover.
+    Single source of truth — patchcore_score, the shard_map'd sharded-bank
+    path (parallel/eval) and bench.py's custom-call FLOPs correction all
+    consult this one predicate."""
+    return (metric == "l2" and jax.default_backend() == "tpu"
+            and rows % 1024 == 0 and rows >= 32768)
+
+
 def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
                     feat_hw, out_size: int = 224, metric: str = "l2",
                     n_reweight: int = 3, blur_radius: float = 4.0,
@@ -202,9 +212,8 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
     # costs as much as the distance matmul itself (the VPU index-reduce
     # doubles the pass) and is only needed for ONE patch, so min values
     # only are computed there and m_star is re-derived exactly below.
-    use_kernel = (metric == "l2" and chunk is not None
-                  and jax.default_backend() == "tpu"
-                  and bank.shape[0] % 1024 == 0 and bank.shape[0] >= 32768)
+    use_kernel = chunk is not None and use_scoring_kernel(
+        bank.shape[0], metric)
     if use_kernel:
         from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
         # the kernel's running (min, argmin) update is one fused pass, so

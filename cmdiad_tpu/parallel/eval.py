@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cmdiad_tpu.ops.scoring import patchcore_score, patchcore_finish, cdist
+from cmdiad_tpu.ops.scoring import (patchcore_score, patchcore_finish, cdist,
+                                    use_scoring_kernel)
 
 
 def dp_score_batch(mesh: Mesh, patches: jnp.ndarray, bank: jnp.ndarray,
@@ -51,12 +52,9 @@ def dp_score_batch(mesh: Mesh, patches: jnp.ndarray, bank: jnp.ndarray,
         return score(patches, bank, feat_hw, out_size, metric, n_reweight)
 
 
-def _use_scoring_kernel(local_rows: int, metric: str) -> bool:
-    """Route each shard's local pass through the Mosaic streaming kernel?
-    Same gate as the single-device path (ops/scoring.py): l2 on TPU with
-    1024-aligned rows above the measured ~32k-row jnp/kernel crossover."""
-    return (metric == "l2" and jax.default_backend() == "tpu"
-            and local_rows % 1024 == 0 and local_rows >= 32768)
+# THE kernel-routing gate lives in ops/scoring (single source of truth);
+# each shard consults it with its LOCAL row count.
+_use_scoring_kernel = use_scoring_kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -101,9 +99,11 @@ def _sharded_min_fn(mesh: Mesh, batched: bool, metric: str, use_kernel: bool):
         return (jnp.take_along_axis(all_v, k[None], axis=0)[0],
                 jnp.take_along_axis(all_i, k[None], axis=0)[0])
 
-    return shard_map(body, mesh=mesh,
-                     in_specs=(P(), P("data", None)),
-                     out_specs=(P(), P()), check_vma=False)
+    # jit here (not per call): the lru_cache makes the jitted callable
+    # stable, so repeated sharded_bank_min_dist calls reuse one trace
+    return jax.jit(shard_map(body, mesh=mesh,
+                             in_specs=(P(), P("data", None)),
+                             out_specs=(P(), P()), check_vma=False))
 
 
 def sharded_bank_min_dist(mesh: Mesh, patch: jnp.ndarray, bank: jnp.ndarray,
@@ -122,7 +122,7 @@ def sharded_bank_min_dist(mesh: Mesh, patch: jnp.ndarray, bank: jnp.ndarray,
     fn = _sharded_min_fn(mesh, patch.ndim == 3, metric,
                          _use_scoring_kernel(bank.shape[0] // n_dev, metric))
     with mesh:
-        return jax.jit(fn)(patch, bank)
+        return fn(patch, bank)
 
 
 @functools.lru_cache(maxsize=None)

@@ -56,6 +56,21 @@ def test_fps_never_selects_invalid(rng, use_pallas):
     assert mask[np.asarray(idx[0])].all()
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_fps_all_invalid_mask_stays_in_range(rng, use_pallas):
+    """A fully-masked sample (preprocessing can delete every point) must
+    yield in-range indices — the kernel's p_total 'no valid point' sentinel
+    previously escaped as an out-of-bounds row fetch on the compiled path.
+    The output is meaningless for such a sample; the contract is only
+    0 <= idx < P."""
+    pts = np.zeros((1, 256, 3), np.float32)
+    mask = np.asarray(masked.nonzero_point_mask(pts))
+    assert not mask.any()
+    _, idx = fps.farthest_point_sample(pts, mask, 16, use_pallas=use_pallas)
+    idx = np.asarray(idx)
+    assert ((idx >= 0) & (idx < 256)).all()
+
+
 def test_fps_batched(rng):
     pts1, _ = _make_masked_points(rng, 256, 100)
     pts2, _ = _make_masked_points(rng, 256, 200)
