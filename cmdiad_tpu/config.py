@@ -111,6 +111,11 @@ class Config:
     # --- outputs --------------------------------------------------------------
     save_results: bool = True
     results_dir: str = "results"
+    # persist fitted per-class state (banks + NN tables + Q1 stats + linear
+    # OCSVM fusers) under <dir>/<class>.npz and serve from it on the next
+    # run, skipping the whole fit — a serving capability the reference
+    # lacks (banks rebuilt per run per class, SURVEY.md §5). "" = off.
+    bank_cache_dir: str = ""
     save_raw_results: bool = False
     save_seg_results: bool = False
     experiment_note: str = ""

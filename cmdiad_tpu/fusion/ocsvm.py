@@ -52,11 +52,22 @@ class SGDOneClassSVM:
         raise ValueError(self.backend)
 
     def score_samples(self, x: np.ndarray) -> np.ndarray:
-        """sklearn semantics: decision_function + offset = x·w (un-shifted)."""
+        """sklearn semantics: decision_function + offset = x·w (un-shifted).
+
+        With only restored weights (``load_weights`` — bank-cache serving),
+        the linear form x·coef is used directly; it is exactly what
+        sklearn's score_samples computes for SGDOneClassSVM."""
         x = np.asarray(x, np.float64)
-        if self.backend == "sklearn":
+        if self.backend == "sklearn" and self._skl is not None:
             return self._skl.score_samples(x)
-        return x @ self.coef_.reshape(-1)
+        return x @ np.asarray(self.coef_, np.float64).reshape(-1)
+
+    def load_weights(self, coef, offset) -> "SGDOneClassSVM":
+        """Restore a fitted fuser from persisted weights (no sklearn object)."""
+        self.coef_ = np.asarray(coef, np.float64).reshape(1, -1)
+        self.offset_ = np.asarray(offset, np.float64).reshape(-1)
+        self._skl = None
+        return self
 
     def decision_function(self, x: np.ndarray) -> np.ndarray:
         return self.score_samples(x) - self.offset_

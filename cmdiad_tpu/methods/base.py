@@ -646,6 +646,51 @@ class MemoryBankMethod:
             np.savez_compressed(os.path.join(out_dir, rel + ".npz"),
                                 s_map=fused_map, gt=mask_np)
 
+    # ---------------- fitted-state persistence ------------------------------
+    def save_state(self, path: str) -> None:
+        """Persist the fitted per-class serving state: padded banks + NN
+        tables, true row counts, Q1 (cross-wired) scalar stats and the two
+        linear OCSVM fusers — everything ``predict`` needs.  The reference
+        never persists banks (rebuilt per run per class, SURVEY.md §5);
+        loading this skips the entire fit (two train passes + coreset)."""
+        import json
+        arrs = {}
+        for n in self.banks:
+            arrs[f"bank_{n}"] = np.asarray(jax.device_get(self.banks[n]))
+            arrs[f"nn_{n}"] = np.asarray(jax.device_get(self.nn_tables[n]))
+        for tag, f in (("detect", self.detect_fuser), ("seg", self.seg_fuser)):
+            arrs[f"{tag}_coef"] = np.asarray(f.coef_, np.float64).reshape(-1)
+            arrs[f"{tag}_offset"] = np.asarray(f.offset_,
+                                               np.float64).reshape(-1)
+        meta = {"bank_sizes": self.bank_sizes,
+                "stats": {k: list(v) for k, v in self.stats.items()},
+                "class_name": self.class_name}
+        arrs["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), np.uint8).copy()
+        np.savez_compressed(path, **arrs)
+
+    def load_state(self, path: str) -> None:
+        """Restore ``save_state`` output; banks re-take their configured
+        mesh placement (shard_bank / DP replication) on this process's
+        devices."""
+        import json
+        z = np.load(path)
+        meta = json.loads(bytes(z["meta_json"]).decode())
+        self.class_name = meta["class_name"]
+        self.bank_sizes = {k: int(v) for k, v in meta["bank_sizes"].items()}
+        self.stats = {k: (float(v[0]), float(v[1]))
+                      for k, v in meta["stats"].items()}
+        self.banks, self.nn_tables = {}, {}
+        for key in z.files:
+            if key.startswith("bank_"):
+                n = key[len("bank_"):]
+                self.banks[n] = self._place_bank(jnp.asarray(z[key]))
+                self.nn_tables[n] = self._replicate_small(
+                    jnp.asarray(z[f"nn_{n}"]))
+        self.detect_fuser.load_weights(z["detect_coef"], z["detect_offset"])
+        self.seg_fuser.load_weights(z["seg_coef"], z["seg_offset"])
+        self._fuser_w = None  # device copies refreshed lazily
+
     def reset_predictions(self):
         """Clear accumulated predictions (e.g. to re-run an eval pass)."""
         self.image_preds, self.image_labels = [], []

@@ -61,13 +61,35 @@ class CMDIADRunner:
         return iter_samples(self._dataset(split, class_name),
                             max_samples=max_samples)
 
+    def _bank_cache_path(self, class_name: str) -> Optional[str]:
+        if not self.cfg.bank_cache_dir:
+            return None
+        import os
+        os.makedirs(self.cfg.bank_cache_dir, exist_ok=True)
+        return os.path.join(self.cfg.bank_cache_dir, f"{class_name}.npz")
+
     def fit(self, class_name: str,
             train_samples: Optional[List[dict]] = None) -> None:
         """Bank pass + coreset + OCSVM-calibration pass.
 
         ``train_samples``: optional pre-decoded sample list (from
         ``preload_class_samples``) replacing dataset IO.
+
+        With ``cfg.bank_cache_dir`` set, a previously fitted class is
+        served straight from its persisted state (banks + stats + fusers)
+        and the whole fit is skipped; a fresh fit is persisted for the
+        next run.
         """
+        import os
+        cache = self._bank_cache_path(class_name)
+        if cache and os.path.exists(cache):
+            t0 = time.perf_counter()
+            self.method.load_state(cache)
+            self.timings["bank_load_s"] = time.perf_counter() - t0
+            log.info("class %s: fitted state loaded from %s in %.1fs "
+                     "(fit skipped)", class_name, cache,
+                     self.timings["bank_load_s"])
+            return
         split = self._train_split()
         bs = max(self.cfg.batch_size, 1)
         t0 = time.perf_counter()
@@ -96,6 +118,10 @@ class CMDIADRunner:
                 self.method.add_batch_to_late_fusion_mem_bank(batch)
             self.method.run_late_fusion()
         self.timings["late_fusion_s"] = time.perf_counter() - t0
+        if cache:
+            self.method.save_state(cache)
+            log.info("class %s: fitted state persisted to %s",
+                     class_name, cache)
 
     def evaluate(self, class_name: str,
                  test_samples: Optional[List[dict]] = None) -> Dict[str, float]:
