@@ -147,3 +147,56 @@ def test_e2e_sharded_bank_scoring(rng, tmp_path_factory):
     np.testing.assert_allclose(float(s_rep), float(s_sh), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(m_rep), np.asarray(m_sh),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_state_round_trip_sharded_bank(rng, tmp_path_factory):
+    """save_state/load_state across the row-sharded placement: the loaded
+    bank re-takes its P('data') sharding on this process's mesh and scores
+    identically (serving from a bank cache must work multi-chip too)."""
+    from cmdiad_tpu.config import Config
+    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+    from cmdiad_tpu.data.mvtec3d import MVTec3DDataset
+    from cmdiad_tpu.models.backbone import DualBackbone
+    from cmdiad_tpu.models.vit import ViTConfig
+    from cmdiad_tpu.models.point_mae import PointMAEConfig
+    from cmdiad_tpu.methods.registry import _METHODS
+
+    root = make_synthetic_dataset(
+        str(tmp_path_factory.mktemp("synth_state")), size=64, n_train=4)
+    bb = DualBackbone(
+        vit_config=ViTConfig(img_size=64, patch_size=8, embed_dim=16,
+                             depth=1, num_heads=2),
+        pm_config=PointMAEConfig(num_group=16, group_size=8, encoder_dims=8,
+                                 trans_dim=8, depth=1, num_heads=2,
+                                 fetch_idx=(0,)),
+        use_pallas=False, image_size=64)
+    params = bb.init_params(0)
+    cfg = Config(method_name="Point_MAE", dataset_path=root, rgb_size=64,
+                 xyz_size=64, gt_size=64, f_coreset=0.5, max_sample=10,
+                 shard_bank=True)
+
+    m = _METHODS["Point_MAE"](cfg, bb, params)
+    ds = MVTec3DDataset(root, "widget", "train", 64, 64, 64)
+    for s in ds:
+        m.add_sample_to_mem_bank(s, "widget")
+    m.run_coreset()
+    calib = np.abs(np.asarray(rng.normal(1.0, 0.3, size=(20, 1))))
+    m.detect_fuser.fit(calib)
+    m.seg_fuser.fit(calib)
+
+    path = str(tmp_path_factory.mktemp("cache") / "widget.npz")
+    m.save_state(path)
+
+    m2 = _METHODS["Point_MAE"](cfg, bb, params)
+    m2.load_state(path)
+    assert m2.bank_sizes == m.bank_sizes and m2.stats == m.stats
+    # the restored bank is row-sharded over the mesh 'data' axis again
+    spec = m2.banks["xyz"].sharding.spec
+    assert tuple(spec)[0] == "data", spec
+
+    tds = MVTec3DDataset(root, "widget", "test", 64, 64, 64)
+    out = m.extract(tds.load(0))
+    s1, map1 = m.score_patch(out["xyz_patch"], "xyz")
+    s2, map2 = m2.score_patch(out["xyz_patch"], "xyz")
+    np.testing.assert_allclose(float(s1), float(s2), rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(map1), np.asarray(map2))
