@@ -364,6 +364,9 @@ class HallucinationMethod(MemoryBankMethod):
         self.class_name = class_name
         out = self.extract(sample)
         hall = self._hall(sample, out)
+        self._bank_tokens = {"rgb": out["rgb_patch"].shape[-2],
+                             "xyz": out["xyz_patch"].shape[-2],
+                             "fusion": hall.shape[-2]}
         self._append("rgb", out["rgb_patch"])
         self._append("xyz", out["xyz_patch"])
         self._append("fusion", hall)
@@ -426,6 +429,9 @@ class HallucinationMethod(MemoryBankMethod):
         n = batch["_n"]
         out = self.extract(batch)
         hall = self._hall(batch, out)
+        self._bank_tokens = {"rgb": out["rgb_patch"].shape[-2],
+                             "xyz": out["xyz_patch"].shape[-2],
+                             "fusion": hall.shape[-2]}
         for name, arr in (("rgb", out["rgb_patch"]),
                           ("xyz", out["xyz_patch"]), ("fusion", hall)):
             if n != arr.shape[0]:  # slice only the padded tail batch
@@ -453,6 +459,36 @@ class HallucinationMethod(MemoryBankMethod):
         self._record_prediction_batch(s_vec, maps, batch["gt"][:n],
                                       batch["label"][:n],
                                       batch["rgb_path"][:n])
+
+    # ---- cached late fusion (cfg.cache_train_features) ---------------------
+    def supports_cached_late_fusion(self) -> bool:
+        return getattr(self, "_train_cache", None) is not None
+
+    def run_late_fusion_from_cache(self, batch_size: int = 8):
+        """OCSVM-calibration pass straight from the pass-1 feature cache —
+        no dataset IO, no backbone re-extraction, no re-hallucination
+        (scores are identical to the re-extraction path because queries
+        are normalised from the same stored stats).  Mirrors
+        BatchedScoresMixin.run_late_fusion_from_cache for the MTFI banks
+        (main + hallucinated-fusion; the stats-only bank is never scored)."""
+        main, _, lam_s, lam_m = self._main_keys()
+        c = self.cfg
+        t_main = self._bank_tokens[main]
+        t_fus = self._bank_tokens["fusion"]
+        n_samples = self._train_cache[main].shape[0] // t_main
+        for start in range(0, n_samples, batch_size):
+            stop = min(start + batch_size, n_samples)
+            cols = []
+            for name, t in ((main, t_main), ("fusion", t_fus)):
+                feats = self._train_cache[name][start * t: stop * t]
+                patches = jnp.asarray(feats).reshape(stop - start, t, -1)
+                cols.append(self.score_patch_batch(patches, name))
+            s_vec, maps = self._weight_stack(
+                [cols[0][0], cols[1][0]], [cols[0][1], cols[1][1]],
+                (lam_s, c.fusion_s_lambda), (lam_m, c.fusion_smap_lambda))
+            self._push_late_fusion_batch(s_vec, maps, stop - start)
+        self._train_cache = None
+        self.run_late_fusion()
 
 
 class HallucinationFromFeatureMethod(HallucinationMethod):

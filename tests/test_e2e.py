@@ -211,3 +211,32 @@ def test_cached_late_fusion_matches_recompute(dataset_root):
                 dataset_root)
     for k in m_re:
         assert abs(m_re[k] - m_ca[k]) < 1e-9, (k, m_re, m_ca)
+
+
+def test_mtfi_cached_late_fusion_matches_recompute(dataset_root):
+    """MTFI's cache_train_features path — calibration scores straight from
+    the pass-1 cache, skipping re-extraction AND re-hallucination — must
+    yield identical metrics to the recompute pass."""
+    from cmdiad_tpu.methods import registry as reg
+
+    def run(cache):
+        cfg = _cfg(method_name="WithHallucination", main_modality="xyz",
+                   use_hn=True, cache_train_features=cache,
+                   ).replace(dataset_path=dataset_root)
+        bb = _small_backbone()
+        fusion, fusion_vars = reg.build_fusion(cfg, bb)
+        method = reg._METHODS["WithHallucination"](
+            cfg, bb, bb.init_params(0), fusion=fusion,
+            fusion_vars=fusion_vars)
+        runner = CMDIADRunner.__new__(CMDIADRunner)
+        runner.cfg = cfg
+        runner.method = method
+        runner.timings = {}
+        runner.fit("widget")
+        used_cache = method.supports_cached_late_fusion() or cache
+        return runner.evaluate("widget"), used_cache
+
+    m_re, _ = run(False)
+    m_ca, _ = run(True)
+    for k in m_re:
+        assert abs(m_re[k] - m_ca[k]) < 1e-9, (k, m_re, m_ca)
