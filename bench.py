@@ -212,12 +212,40 @@ def measure(bank_rows: int = 65536, batch: int = 8,
     return out
 
 
+def _backend_watchdog(timeout_s: float = 240.0):
+    """Fail FAST (one parseable JSON line) instead of hanging forever when
+    the TPU relay is down: ``jax.devices()`` blocks indefinitely inside an
+    un-interruptible RPC if the tunnel process has died (observed: a
+    multi-hour relay outage would have wedged the benchmark driver).  The
+    watchdog only covers the initial backend query — it is disarmed before
+    compilation starts, so slow first compiles are unaffected."""
+    import threading
+
+    done = threading.Event()
+
+    def bail():
+        if done.wait(timeout_s):
+            return
+        print(json.dumps({
+            "metric": "flagship dual-modal AD inference throughput",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": f"TPU backend unreachable (jax.devices() exceeded "
+                     f"{timeout_s:.0f}s — relay tunnel down?)"}), flush=True)
+        os._exit(2)
+
+    threading.Thread(target=bail, daemon=True).start()
+    import jax
+    jax.devices()  # blocks on the relay; watchdog converts a hang to a line
+    done.set()
+
+
 def main():
     bank = int(os.environ.get("CMDIAD_BENCH_BANK", "65536"))
     batch = int(os.environ.get("CMDIAD_BENCH_BATCH", "8"))
     dtype = os.environ.get("CMDIAD_BENCH_DTYPE", "bfloat16")
     chain = int(os.environ.get("CMDIAD_BENCH_CHAIN", "8"))
 
+    _backend_watchdog()
     res = measure(bank_rows=bank, batch=batch, dtype=dtype, chain=chain)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
