@@ -212,6 +212,48 @@ def measure(bank_rows: int = 65536, batch: int = 8,
     return out
 
 
+def _wait_for_backend(probe_timeout_s: float = 120.0,
+                      total_s: float = 900.0,
+                      interval_s: float = 60.0) -> None:
+    """Bounded retry before giving up on the TPU relay (round-3 lesson:
+    BENCH_r03 recorded 0.0 img/s because a transient tunnel outage zeroed
+    the whole round).  ``jax.devices()`` on a dead relay blocks forever in
+    an un-interruptible RPC, so each probe runs in a KILLABLE subprocess;
+    re-probe every ``interval_s`` for up to ``total_s``.  On success return
+    (the caller then initialises in-process under the fast watchdog); on
+    exhaustion print the one parseable JSON error line and exit 2."""
+    import subprocess
+    import sys
+
+    probe_timeout_s = min(probe_timeout_s, max(total_s, 10.0))
+    deadline = time.time() + total_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('BACKEND_OK')"],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if "BACKEND_OK" in (r.stdout or ""):
+                return
+            reason = (r.stderr or r.stdout or "").strip().splitlines()
+            reason = reason[-1] if reason else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe hung >{probe_timeout_s:.0f}s (relay down?)"
+        if time.time() >= deadline:
+            print(json.dumps({
+                "metric": "flagship dual-modal AD inference throughput",
+                "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+                "error": f"TPU backend unreachable after {attempt} probes "
+                         f"over {total_s:.0f}s — last: {reason}"}),
+                flush=True)
+            raise SystemExit(2)
+        print(f"# TPU probe {attempt} failed ({reason}); retrying in "
+              f"{interval_s:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(min(interval_s, max(0.0, deadline - time.time())))
+
+
 def _backend_watchdog(timeout_s: float = 240.0):
     """Fail FAST (one parseable JSON line) instead of hanging forever when
     the TPU relay is down: ``jax.devices()`` blocks indefinitely inside an
@@ -245,6 +287,8 @@ def main():
     dtype = os.environ.get("CMDIAD_BENCH_DTYPE", "bfloat16")
     chain = int(os.environ.get("CMDIAD_BENCH_CHAIN", "8"))
 
+    _wait_for_backend(
+        total_s=float(os.environ.get("CMDIAD_BENCH_RETRY_S", "900")))
     _backend_watchdog()
     res = measure(bank_rows=bank, batch=batch, dtype=dtype, chain=chain)
 
