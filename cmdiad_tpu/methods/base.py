@@ -36,6 +36,40 @@ from cmdiad_tpu.ops.coreset import coreset_select
 from cmdiad_tpu.ops.scoring import patchcore_score, pad_bank
 
 
+class StateFingerprintMismatch(ValueError):
+    """Persisted fitted state was produced under a different scoring-relevant
+    configuration (or an older format) than the current run — serving it
+    would silently change scores (e.g. an ``nn_`` table built with a
+    different ``n_reweight`` changes the eq.7 neighbourhood width)."""
+
+
+# Bump whenever the persisted layout or any serving-path semantics change.
+_STATE_FORMAT_VERSION = 2
+
+# Every config field that shapes the fitted state or how it is scored:
+# what went INTO the banks (dataset/backbones/ckpts/extraction dtype/sample
+# cap), how they were SUBSAMPLED (coreset family), and how they are SCORED
+# at serve time (distances, eq.7 k via the persisted nn_ tables, λs, blur,
+# OCSVM calibration).  Placement fields (mesh_shape/shard_bank/batch_size)
+# are deliberately absent: load_state re-places banks per-process.
+_FINGERPRINT_FIELDS = (
+    "method_name", "main_modality",
+    "use_hn", "use_hn_conv", "use_hn_from_rgb_mlp", "use_hn_from_rgb_conv",
+    "use_hrnet", "c_hrnet", "fusion_module_path", "use_depth",
+    "rgb_backbone_name", "xyz_backbone_name", "group_size", "num_group",
+    "rgb_ckpt_path", "xyz_ckpt_path",
+    "dataset_type", "dataset_path",
+    "rgb_size", "xyz_size", "gt_size", "max_sample", "train_with_validation",
+    "f_coreset", "coreset_eps", "coreset_dtype",
+    "dist_method_s", "dist_method_coreset", "random_state", "n_reweight",
+    "quantized_blur",
+    "xyz_s_lambda", "xyz_smap_lambda", "rgb_s_lambda", "rgb_smap_lambda",
+    "fusion_s_lambda", "fusion_smap_lambda",
+    "ocsvm_nu", "ocsvm_maxiter", "ocsvm_backend",
+    "compute_dtype", "use_pallas", "use_flash", "seed",
+)
+
+
 @functools.partial(jax.jit, static_argnames=("feat_hw", "out_size", "metric",
                                              "n_reweight", "chunk",
                                              "quantized_blur"))
@@ -664,18 +698,40 @@ class MemoryBankMethod:
                                                np.float64).reshape(-1)
         meta = {"bank_sizes": self.bank_sizes,
                 "stats": {k: list(v) for k, v in self.stats.items()},
-                "class_name": self.class_name}
+                "class_name": self.class_name,
+                "fingerprint": self.state_fingerprint()}
         arrs["meta_json"] = np.frombuffer(
             json.dumps(meta).encode(), np.uint8).copy()
         np.savez_compressed(path, **arrs)
 
+    def state_fingerprint(self) -> dict:
+        """JSON-safe snapshot of every config field the fitted state depends
+        on (see ``_FINGERPRINT_FIELDS``), plus the persistence format
+        version.  ``load_state`` refuses state with a different fingerprint."""
+        fp = {f: getattr(self.cfg, f) for f in _FINGERPRINT_FIELDS}
+        fp["_format"] = _STATE_FORMAT_VERSION
+        return fp
+
     def load_state(self, path: str) -> None:
         """Restore ``save_state`` output; banks re-take their configured
         mesh placement (shard_bank / DP replication) on this process's
-        devices."""
+        devices.
+
+        Raises :class:`StateFingerprintMismatch` when the persisted
+        fingerprint differs from the current config (or predates
+        fingerprinting) — ``runner.fit`` falls back to a fresh fit then."""
         import json
         z = np.load(path)
         meta = json.loads(bytes(z["meta_json"]).decode())
+        saved_fp = meta.get("fingerprint")
+        fp = self.state_fingerprint()
+        if saved_fp != fp:
+            diff = sorted(
+                k for k in fp
+                if not isinstance(saved_fp, dict) or saved_fp.get(k) != fp[k])
+            raise StateFingerprintMismatch(
+                f"{path}: persisted state does not match the current config "
+                f"(differing fields: {diff}); refit required")
         self.class_name = meta["class_name"]
         self.bank_sizes = {k: int(v) for k, v in meta["bank_sizes"].items()}
         self.stats = {k: (float(v[0]), float(v[1]))

@@ -78,18 +78,24 @@ class CMDIADRunner:
         With ``cfg.bank_cache_dir`` set, a previously fitted class is
         served straight from its persisted state (banks + stats + fusers)
         and the whole fit is skipped; a fresh fit is persisted for the
-        next run.
+        next run.  A cache whose config fingerprint does not match the
+        current run (e.g. a different ``n_reweight`` or ``f_coreset``) is
+        rejected and refit — stale state is never served silently.
         """
         import os
+        from cmdiad_tpu.methods.base import StateFingerprintMismatch
         cache = self._bank_cache_path(class_name)
         if cache and os.path.exists(cache):
             t0 = time.perf_counter()
-            self.method.load_state(cache)
-            self.timings["bank_load_s"] = time.perf_counter() - t0
-            log.info("class %s: fitted state loaded from %s in %.1fs "
-                     "(fit skipped)", class_name, cache,
-                     self.timings["bank_load_s"])
-            return
+            try:
+                self.method.load_state(cache)
+                self.timings["bank_load_s"] = time.perf_counter() - t0
+                log.info("class %s: fitted state loaded from %s in %.1fs "
+                         "(fit skipped)", class_name, cache,
+                         self.timings["bank_load_s"])
+                return
+            except StateFingerprintMismatch as e:
+                log.warning("class %s: %s", class_name, e)
         split = self._train_split()
         bs = max(self.cfg.batch_size, 1)
         t0 = time.perf_counter()

