@@ -33,8 +33,13 @@ this kernel LOST 12% end-to-end (85.1 vs 97.3 img/s) — the f32 MXU-rate
 penalty exceeded the deleted score traffic; the bf16 variant is the one
 that pays off.
 
-Off-TPU (and with use_flash=False) an einsum fallback with identical math
-runs instead — also the path GSPMD-partitioned multi-chip programs use on
+Off-TPU (and with use_flash=False) an einsum fallback runs instead — the
+same algorithm, but at bf16 it additionally quantizes the (b, h, n, n)
+score tensor to the compute dtype before the f32 softmax (a deliberate
+HBM-traffic halving on the default production path), whereas the kernel
+keeps scores f32 throughout; kernel-vs-fallback parity tolerances must
+budget for that extra rounding (exact agreement only at f32).  The
+fallback is also the path GSPMD-partitioned multi-chip programs use on
 CPU meshes; on TPU meshes the kernel runs inside shard_map like the other
 Mosaic kernels (methods/base.py).
 """
@@ -137,7 +142,9 @@ def fused_attention(q, k, v, scale: float, use_flash: bool = True):
     Computes softmax((q·scale)·kᵀ)·v per head — the reference Attention
     (models/models.py:148-160) without dropout (inference-only backbones).
     ``use_flash`` routes to the Pallas kernel on TPU; anywhere else the
-    einsum fallback below runs (same math, f32 softmax).
+    einsum fallback below runs (same algorithm; at bf16 it quantizes the
+    score tensor to the compute dtype before the f32 softmax, which the
+    kernel does not — see module docstring).
     """
     b, n, h, d = q.shape
     if not use_flash or jax.default_backend() != "tpu":

@@ -85,13 +85,14 @@ def _fps_pallas_kernel(num_samples, pts_ref, rows_ref, mind_in_ref,
     mind0 = mind_in_ref[0, 0]                                  # (S, 128)
     mind_scratch[:, :] = mind0
     idx_ref[0, 0, :] = jnp.zeros((num_samples,), jnp.int32)
-    # p_total sentinel = "no valid point"; clamp an all-invalid sample into
-    # range (jnp path seeds index 0 there too via argmax-of-all-false) —
+    # p_total sentinel = "no valid point"; map an all-invalid sample to
+    # seed 0 (exactly the jnp path's argmax-of-all-false result) —
     # otherwise the pl.ds row fetch below reads past the (P, 8) block on
-    # the compiled path (unchecked OOB; interpret mode clamps — divergent)
-    start = jnp.minimum(
-        jnp.min(jnp.where(mind0 >= 0.0, flat_idx, jnp.int32(p_total))),
-        jnp.int32(p_total - 1))
+    # the compiled path (unchecked OOB; interpret mode clamps — divergent).
+    # NB: clamping to p_total-1 is NOT safe: p_total = ceil(P/128)*128 can
+    # exceed the rows block's true capacity P.
+    min_flat = jnp.min(jnp.where(mind0 >= 0.0, flat_idx, jnp.int32(p_total)))
+    start = jnp.where(min_flat == jnp.int32(p_total), jnp.int32(0), min_flat)
 
     def body(i, last_idx):
         # record the point selected at step i (one-hot vector write)

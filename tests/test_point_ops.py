@@ -56,19 +56,23 @@ def test_fps_never_selects_invalid(rng, use_pallas):
     assert mask[np.asarray(idx[0])].all()
 
 
+@pytest.mark.parametrize("p", [256, 200])
 @pytest.mark.parametrize("use_pallas", [False, True])
-def test_fps_all_invalid_mask_stays_in_range(rng, use_pallas):
+def test_fps_all_invalid_mask_stays_in_range(rng, use_pallas, p):
     """A fully-masked sample (preprocessing can delete every point) must
     yield in-range indices — the kernel's p_total 'no valid point' sentinel
     previously escaped as an out-of-bounds row fetch on the compiled path.
-    The output is meaningless for such a sample; the contract is only
-    0 <= idx < P."""
-    pts = np.zeros((1, 256, 3), np.float32)
+    p=200 covers non-128-multiple capacity, where the earlier p_total-1
+    clamp itself landed past the (P, 8) rows block (p_total = 256 > P); the
+    sentinel now maps to seed 0, exactly the jnp path's argmax-of-all-false
+    seed, so both paths agree bit-for-bit even on this degenerate input."""
+    pts = np.zeros((1, p, 3), np.float32)
     mask = np.asarray(masked.nonzero_point_mask(pts))
     assert not mask.any()
     _, idx = fps.farthest_point_sample(pts, mask, 16, use_pallas=use_pallas)
     idx = np.asarray(idx)
-    assert ((idx >= 0) & (idx < 256)).all()
+    assert ((idx >= 0) & (idx < p)).all()
+    assert (idx == 0).all()
 
 
 def test_fps_batched(rng):
