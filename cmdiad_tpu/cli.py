@@ -21,11 +21,17 @@ import sys
 from cmdiad_tpu.config import Config, TrainConfig, METHOD_NAMES, TRAIN_METHODS
 
 
+def _parse_int_tuple(s: str) -> tuple:
+    """'4,2' -> (4, 2); '8' -> (8,); '' -> () (single device)."""
+    s = s.strip().strip("()")
+    return tuple(int(x) for x in s.split(",") if x.strip()) if s else ()
+
+
 def _field_type(f) -> type | None:
     """Concrete scalar type of a dataclass field, incl. Optional[int/float]."""
     t = str(f.type)
-    if "Tuple" in t or "tuple" in t:   # e.g. mesh_shape — not CLI-exposed
-        return None
+    if "Tuple" in t or "tuple" in t:   # mesh_shape — comma-separated ints
+        return tuple
     if "bool" in t:
         return bool
     if "int" in t:
@@ -45,10 +51,14 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type) -> None:
         if typ is bool or isinstance(default, bool):
             parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=default)
+        elif typ is tuple:
+            # mesh_shape etc.: --mesh_shape 4,2 -> (4, 2); multi-chip DP
+            # eval and --shard_bank are reachable without writing Python
+            parser.add_argument(name, type=_parse_int_tuple, default=default,
+                                help="comma-separated ints, e.g. '4,2'")
         elif typ is not None:
             # Optional[int/float] fields must not degrade to str parsing
             parser.add_argument(name, type=typ, default=default)
-        # tuple-typed fields (mesh_shape) are set programmatically
 
 
 def _config_from_args(args, dc_type):

@@ -15,6 +15,34 @@ def test_cli_help_lists_subcommands(capsys):
         assert sub in out
 
 
+def test_parse_int_tuple():
+    assert cli._parse_int_tuple("") == ()
+    assert cli._parse_int_tuple("8") == (8,)
+    assert cli._parse_int_tuple("4,2") == (4, 2)
+    assert cli._parse_int_tuple("(4, 2)") == (4, 2)
+
+
+def test_cli_detect_mesh_shape_and_shard_bank(tmp_path, capsys):
+    """Multi-chip eval is reachable without writing Python (VERDICT r3 #8):
+    ``detect --mesh_shape 8 --shard_bank true`` parses to (8,) and runs the
+    bank-row-sharded scoring path end-to-end on the suite's 8-device
+    virtual mesh."""
+    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+    root = make_synthetic_dataset(
+        str(tmp_path / "ds"), class_names=("widget",), size=64,
+        n_train=4, n_test_good=2, n_test_bad=2)
+    cli.main(["detect", "--method_name", "DINO",
+              "--rgb_backbone_name", "tiny", "--xyz_backbone_name", "tiny",
+              "--dataset_path", root, "--class_name", "widget",
+              "--rgb_size", "64", "--xyz_size", "64", "--gt_size", "64",
+              "--num_group", "32", "--group_size", "16",
+              "--f_coreset", "1.0", "--use_pallas", "false",
+              "--mesh_shape", "8", "--shard_bank", "true",
+              "--batch_size", "2", "--save_results", "false"])
+    out = capsys.readouterr().out
+    assert "image_rocauc" in out and "Widget" in out
+
+
 def test_cli_preprocess(tmp_path, rng, capsys):
     from cmdiad_tpu.data import tiffio
     from PIL import Image
