@@ -78,7 +78,11 @@ def vit_from_timm(sd: StateDict, depth: int = 12) -> dict:
     """timm ViT state dict -> VisionTransformer variables.
 
     Handles DINO ViT-B/8-style plain blocks and DINOv2 extras (LayerScale
-    ``ls{1,2}.gamma``, register tokens).
+    ``ls{1,2}.gamma``, register tokens).  Register models carry timm's
+    ``no_embed_class`` pos_embed (patch tokens only, no cls/reg rows) —
+    passed through unchanged; the flax model applies the same convention.
+    Cross-implementation parity vs a vendored timm-layout torch ViT:
+    tests/test_vit_timm_provenance.py.
     """
     params = {
         "patch_embed": _conv2d(sd, "patch_embed.proj"),

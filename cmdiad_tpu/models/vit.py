@@ -148,19 +148,29 @@ class VisionTransformer(nn.Module):
 
         cls = self.param("cls_token", nn.initializers.zeros,
                          (1, 1, cfg.embed_dim))
-        pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, cfg.num_patches + 1, cfg.embed_dim))
-        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(self.dtype), x], axis=1)
-        x = x + pos.astype(self.dtype)
-        n_prefix = 1
         if cfg.num_reg_tokens:
+            # timm register-token convention (``no_embed_class=True``, e.g.
+            # vit_base_patch14_reg4_dinov2): pos_embed covers the PATCH
+            # tokens only and is added before [cls, reg] are prepended
+            # un-positioned — required for converted timm reg checkpoints.
+            pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                             (1, cfg.num_patches, cfg.embed_dim))
+            x = x + pos.astype(self.dtype)
             reg = self.param("reg_token", nn.initializers.zeros,
                              (1, cfg.num_reg_tokens, cfg.embed_dim))
             x = jnp.concatenate(
-                [x[:, :1],
+                [jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(self.dtype),
                  jnp.broadcast_to(reg, (b,) + reg.shape[1:]).astype(self.dtype),
-                 x[:, 1:]], axis=1)
-            n_prefix += cfg.num_reg_tokens
+                 x], axis=1)
+            n_prefix = 1 + cfg.num_reg_tokens
+        else:
+            pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                             (1, cfg.num_patches + 1, cfg.embed_dim))
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls, (b, 1, cfg.embed_dim)).astype(self.dtype),
+                 x], axis=1)
+            x = x + pos.astype(self.dtype)
+            n_prefix = 1
 
         for i in range(cfg.depth):
             x = Block(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,

@@ -70,7 +70,10 @@ def _rand_sd_vit(rng, cfg):
         size=(c, 3, cfg.patch_size, cfg.patch_size)).astype(np.float32) * 0.05
     sd["patch_embed.proj.bias"] = rng.normal(size=(c,)).astype(np.float32) * 0.05
     sd["cls_token"] = rng.normal(size=(1, 1, c)).astype(np.float32) * 0.05
-    sd["pos_embed"] = rng.normal(size=(1, cfg.num_patches + 1, c)).astype(np.float32) * 0.05
+    # timm: reg-token models use no_embed_class (pos covers patch tokens
+    # only); classic models embed [cls; patches]
+    embed_len = cfg.num_patches if cfg.num_reg_tokens else cfg.num_patches + 1
+    sd["pos_embed"] = rng.normal(size=(1, embed_len, c)).astype(np.float32) * 0.05
     for i in range(cfg.depth):
         t = f"blocks.{i}"
         for ln in ("norm1", "norm2"):
