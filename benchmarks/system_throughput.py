@@ -129,6 +129,16 @@ def main():
                 json.dump(out, f, indent=1)
         return
 
+    def hbm_peak_gb():
+        """Device peak memory (GB) — justifies cache_train_features'
+        default by showing the fit-time HBM headroom it costs."""
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            return round(peak / 2**30, 2) if peak else None
+        except Exception:
+            return None
+
     backbone = build_backbone(cfg)
     runner = CMDIADRunner(cfg, backbone=backbone,
                           params=backbone.init_params(0))
@@ -136,6 +146,7 @@ def main():
     t0 = time.perf_counter()
     runner.fit("widget")
     fit_s = time.perf_counter() - t0
+    hbm_peak_fit = hbm_peak_gb()
     metrics = runner.evaluate("widget")
     cold = {k: runner.timings[k] for k in ("eval_s", "eval_images_per_s")}
     # warm pass: all programs compiled — steady-state system throughput
@@ -149,6 +160,9 @@ def main():
         "backend": jax.default_backend(),
         "n_train": n_train, "n_test": n_test, "batch": batch,
         "dtype": dtype, "use_flash": use_flash,
+        "cache_train_features": cfg.cache_train_features,
+        "hbm_peak_fit_gb": hbm_peak_fit,
+        "hbm_peak_total_gb": None,  # filled after eval below
         "dataset_gen_s": round(gen_s, 1),
         "fit_s": round(fit_s, 1),
         "bank_pass_s": round(runner.timings.get("bank_pass_s", 0), 1),
@@ -161,6 +175,7 @@ def main():
             runner.timings.get("eval_images_per_s", 0), 2),
         "metrics": {k: round(v, 4) for k, v in metrics.items()},
     }
+    out["hbm_peak_total_gb"] = hbm_peak_gb()
     print(json.dumps(out))
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:

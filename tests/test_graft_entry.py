@@ -37,11 +37,17 @@ def test_dryrun_multichip_never_consults_unreachable_tpu_backend():
         "else:",
         "    raise SystemExit('simulation broken: axon backend resolved')",
         "import __graft_entry__ as g",
+        # entry()'s guard: probe fails fast (unregistered platform), falls
+        # back to the CPU platform instead of wedging the caller
+        "g._ensure_reachable_backend(probe_timeout_s=60)",
+        "assert jax.config.jax_platforms == 'cpu', jax.config.jax_platforms",
+        "print('FALLBACK_OK', flush=True)",
         "g.dryrun_multichip(8)",
         "print('DRYRUN_DONE', flush=True)",
     ])
     r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                        capture_output=True, text=True, timeout=900)
     assert "PRECHECK_RAISED" in r.stdout, (r.stdout, r.stderr)
+    assert "FALLBACK_OK" in r.stdout, (r.stdout, r.stderr)
     assert r.returncode == 0 and "DRYRUN_DONE" in r.stdout, (
         r.stdout, r.stderr)
