@@ -129,6 +129,12 @@ class Config:
     mesh_shape: Tuple[int, ...] = ()  # () = single device
     shard_bank: bool = False     # shard memory-bank rows over the data axis
     use_pallas: bool = True      # Pallas kernels for FPS/coreset (False = pure jnp)
+    # run the whole per-batch eval (extraction -> scoring -> λ-stack ->
+    # OCSVM fusion) as ONE jitted program on the single-device path: same
+    # math, ~5 fewer dispatch RPCs per batch (each ~60 ms behind the remote
+    # relay).  Off restores the staged per-stage programs (useful when
+    # attributing time per stage).
+    fused_eval: bool = True
     # fused attention kernel in the backbones (ops/flash_attn.py); separate
     # knob because its Mosaic compile is a large one-time cost per shape
     use_flash: bool = False

@@ -41,11 +41,23 @@ class BatchedScoresMixin:
     loader.stack_batches is sliced away with the batch's ``_n``.
     """
 
+    #: backbone `images=` input at eval time ("depth3" for DepthMethod)
+    rgb_input_key = "rgb"
+
     def _batch_modalities(self):
         raise NotImplementedError
 
     def _batch_extract(self, batch):
         return self.extract(batch)
+
+    def _fused_eval_ready(self) -> bool:
+        """The single-dispatch fused eval program applies on the plain
+        single-device path; DP meshes and row-sharded banks keep the staged
+        path (their collectives live inside the scoring stage)."""
+        import jax as _jax
+        return (self.cfg.fused_eval
+                and self._dp_eval_mesh() is None
+                and not (self.cfg.shard_bank and len(_jax.devices()) > 1))
 
     def add_batch_to_mem_bank(self, batch, class_name=None):
         self.class_name = class_name
@@ -74,8 +86,31 @@ class BatchedScoresMixin:
         self._push_late_fusion_batch(s_vec, maps, batch["_n"])
 
     def predict_batch(self, batch):
-        s_vec, maps = self._scores_batch(batch)
         n = batch["_n"]
+        if self._fused_eval_ready():
+            # extraction + scoring + λ-stack + OCSVM fusion as ONE program
+            # (methods.base._fused_eval_fn): ~5 fewer dispatch RPCs per
+            # batch behind the remote relay, identical math.
+            from cmdiad_tpu.methods.base import _fused_eval_fn
+            mods = self._batch_modalities()
+            fn = _fused_eval_fn(
+                self.backbone, self.rgb_input_key,
+                tuple((key, ls, lm) for _, key, ls, lm in mods),
+                self.cfg.gt_size, self.cfg.dist_method_s,
+                self.cfg.n_reweight, self._chunk(),
+                self.cfg.quantized_blur)
+            bank_args = tuple(
+                (self.banks[bn], jnp.float32(self.stats[bn][0]),
+                 jnp.float32(self.stats[bn][1]),
+                 jnp.int32(self.bank_sizes[bn]), self.nn_tables.get(bn))
+                for bn, _, _, _ in mods)
+            s, fused = fn(self.params, self._device_batch(batch), bank_args,
+                          *self._fuser_weights())
+            self._record_prediction_fused(s, fused, batch["gt"][:n],
+                                          batch["label"][:n],
+                                          batch["rgb_path"][:n])
+            return
+        s_vec, maps = self._scores_batch(batch)
         self._record_prediction_batch(s_vec, maps, batch["gt"][:n],
                                       batch["label"][:n],
                                       batch["rgb_path"][:n])
@@ -147,6 +182,7 @@ class DepthMethod(RGBMethod):
     """RGB pipeline over the 3-channel depth map (reference DepthFeatures)."""
 
     needed_keys = ("depth3",)
+    rgb_input_key = "depth3"
 
     def extract(self, sample, rgb_key="rgb", with_2828=False):
         return super().extract(sample, rgb_key="depth3", with_2828=with_2828)

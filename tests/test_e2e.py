@@ -273,3 +273,21 @@ def test_rgb_method_e2e_37x37_grid(tmp_path):
     for k in ("image_rocauc", "pixel_rocauc", "au_pro", "au_pro_001"):
         assert 0.0 <= m[k] <= 1.0, (k, m)
     assert m["pixel_rocauc"] > 0.5, m
+
+
+@pytest.mark.parametrize("method", ["DINO+Point_MAE", "Point_MAE"])
+def test_fused_eval_matches_staged(dataset_root, method):
+    """cfg.fused_eval folds the whole per-batch eval chain (extraction,
+    per-bank scoring, λ-stack, OCSVM fusion) into ONE jitted program — the
+    same jit bodies inlined — so predictions must be IDENTICAL to the
+    staged path it replaces."""
+    m_f, r_f = _run_r(_cfg(method_name=method, batch_size=2,
+                           fused_eval=True), dataset_root)
+    m_s, r_s = _run_r(_cfg(method_name=method, batch_size=2,
+                           fused_eval=False), dataset_root)
+    np.testing.assert_array_equal(np.asarray(r_f.method.image_preds),
+                                  np.asarray(r_s.method.image_preds))
+    np.testing.assert_array_equal(np.stack(r_f.method.predictions),
+                                  np.stack(r_s.method.predictions))
+    for k in m_f:
+        assert m_f[k] == m_s[k], (k, m_f, m_s)
