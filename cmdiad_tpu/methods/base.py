@@ -162,7 +162,8 @@ def _fuse_predict(s_vec, s_maps, wd, ws):
 
 @functools.lru_cache(maxsize=None)
 def _fused_eval_fn(backbone, rgb_key: str, mods, gt_size: int, metric: str,
-                   n_reweight: int, chunk, quantized_blur: bool):
+                   n_reweight: int, chunk, quantized_blur: bool,
+                   fuse: bool = True):
     """ONE jitted program for the whole per-batch eval chain: feature
     extraction -> per-bank normalise + PatchCore scoring -> λ-weight stack
     -> linear-OCSVM fusion.
@@ -180,9 +181,12 @@ def _fused_eval_fn(backbone, rgb_key: str, mods, gt_size: int, metric: str,
     mods: tuple of (feature_key, lam_s, lam_m) per bank, bank order.
     Single-device path only — DP-eval meshes and row-sharded banks keep the
     staged path (their collectives live in the scoring stage).
+
+    ``fuse=False`` returns the pre-fusion ``(s_vec (B, k), maps (B, k, gt,
+    gt))`` instead — the OCSVM-calibration fit pass needs the raw λ-weighted
+    columns before any fuser exists.
     """
-    @jax.jit
-    def fn(params, dev, bank_args, wd, ws):
+    def scores(params, dev, bank_args):
         out = backbone.extract(
             params, images=dev.get(rgb_key),
             organized_pc=dev.get("organized_pc"),
@@ -204,8 +208,14 @@ def _fused_eval_fn(backbone, rgb_key: str, mods, gt_size: int, metric: str,
             s, m = jax.vmap(one)(patches)
             ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
             ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
-        s_vec = jnp.stack(ss, axis=1)                       # (B, k)
-        maps = jnp.stack(ms, axis=1)                        # (B, k, gt, gt)
+        return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)  # (B,k),(B,k,g,g)
+
+    if not fuse:
+        return jax.jit(scores)
+
+    @jax.jit
+    def fn(params, dev, bank_args, wd, ws):
+        s_vec, maps = scores(params, dev, bank_args)
         return s_vec @ wd, jnp.einsum("bkxy,k->bxy", maps, ws)
     return fn
 

@@ -59,6 +59,23 @@ class BatchedScoresMixin:
                 and self._dp_eval_mesh() is None
                 and not (self.cfg.shard_bank and len(_jax.devices()) > 1))
 
+    def _fused_fn(self, fuse: bool):
+        """(program, modalities) from the module-level fused-program cache."""
+        from cmdiad_tpu.methods.base import _fused_eval_fn
+        mods = self._batch_modalities()
+        return _fused_eval_fn(
+            self.backbone, self.rgb_input_key,
+            tuple((key, ls, lm) for _, key, ls, lm in mods),
+            self.cfg.gt_size, self.cfg.dist_method_s, self.cfg.n_reweight,
+            self._chunk(), self.cfg.quantized_blur, fuse=fuse), mods
+
+    def _fused_bank_args(self, mods):
+        return tuple(
+            (self.banks[bn], jnp.float32(self.stats[bn][0]),
+             jnp.float32(self.stats[bn][1]),
+             jnp.int32(self.bank_sizes[bn]), self.nn_tables.get(bn))
+            for bn, _, _, _ in mods)
+
     def add_batch_to_mem_bank(self, batch, class_name=None):
         self.class_name = class_name
         n = batch["_n"]
@@ -82,7 +99,14 @@ class BatchedScoresMixin:
             tuple(m[2] for m in mods), tuple(m[3] for m in mods))
 
     def add_batch_to_late_fusion_mem_bank(self, batch):
-        s_vec, maps = self._scores_batch(batch)
+        if self._fused_eval_ready():
+            # extraction + scoring + λ-stack as ONE program (no OCSVM term —
+            # the calibration pass is what FITS the fusers)
+            fn, mods = self._fused_fn(fuse=False)
+            s_vec, maps = fn(self.params, self._device_batch(batch),
+                             self._fused_bank_args(mods))
+        else:
+            s_vec, maps = self._scores_batch(batch)
         self._push_late_fusion_batch(s_vec, maps, batch["_n"])
 
     def predict_batch(self, batch):
@@ -91,20 +115,9 @@ class BatchedScoresMixin:
             # extraction + scoring + λ-stack + OCSVM fusion as ONE program
             # (methods.base._fused_eval_fn): ~5 fewer dispatch RPCs per
             # batch behind the remote relay, identical math.
-            from cmdiad_tpu.methods.base import _fused_eval_fn
-            mods = self._batch_modalities()
-            fn = _fused_eval_fn(
-                self.backbone, self.rgb_input_key,
-                tuple((key, ls, lm) for _, key, ls, lm in mods),
-                self.cfg.gt_size, self.cfg.dist_method_s,
-                self.cfg.n_reweight, self._chunk(),
-                self.cfg.quantized_blur)
-            bank_args = tuple(
-                (self.banks[bn], jnp.float32(self.stats[bn][0]),
-                 jnp.float32(self.stats[bn][1]),
-                 jnp.int32(self.bank_sizes[bn]), self.nn_tables.get(bn))
-                for bn, _, _, _ in mods)
-            s, fused = fn(self.params, self._device_batch(batch), bank_args,
+            fn, mods = self._fused_fn(fuse=True)
+            s, fused = fn(self.params, self._device_batch(batch),
+                          self._fused_bank_args(mods),
                           *self._fuser_weights())
             self._record_prediction_fused(s, fused, batch["gt"][:n],
                                           batch["label"][:n],
