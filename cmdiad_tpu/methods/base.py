@@ -162,8 +162,7 @@ def _fuse_predict(s_vec, s_maps, wd, ws):
 
 @functools.lru_cache(maxsize=None)
 def _fused_eval_fn(backbone, rgb_key: str, mods, gt_size: int, metric: str,
-                   n_reweight: int, chunk, quantized_blur: bool,
-                   fuse: bool = True):
+                   n_reweight: int, chunk, quantized_blur: bool):
     """ONE jitted program for the whole per-batch eval chain: feature
     extraction -> per-bank normalise + PatchCore scoring -> λ-weight stack
     -> linear-OCSVM fusion.
@@ -173,18 +172,20 @@ def _fused_eval_fn(backbone, rgb_key: str, mods, gt_size: int, metric: str,
     extraction + 1-2 scoring + stack + fuse = up to 6 dispatches/batch —
     dominates warm system-eval wall clock (measured 20-28 img/s vs the same
     pipeline's 97 img/s device-only rate).  The device math is the same
-    jit bodies inlined back to back; on a co-located host the win is just
-    fewer launches.  Cached at module level on (backbone instance, static
+    jit bodies inlined back to back — results match the staged path to
+    float-rounding tolerance, not bitwise: XLA may re-associate across the
+    former program boundaries (measured ~1e-6 absolute, e.g. the λ map
+    scale folding into the blur matmuls).  On a co-located host the win is
+    just fewer launches.  Cached at module level on (backbone instance, static
     scoring config) so the fresh per-class method objects of
     ``run_detection`` reuse the traced program.
 
     mods: tuple of (feature_key, lam_s, lam_m) per bank, bank order.
     Single-device path only — DP-eval meshes and row-sharded banks keep the
-    staged path (their collectives live in the scoring stage).
-
-    ``fuse=False`` returns the pre-fusion ``(s_vec (B, k), maps (B, k, gt,
-    gt))`` instead — the OCSVM-calibration fit pass needs the raw λ-weighted
-    columns before any fuser exists.
+    staged path (their collectives live in the scoring stage).  The
+    calibration fit pass deliberately does NOT use this program — it runs
+    extraction + the shared ``_fused_scores_fn`` so its rows stay
+    bit-identical to the cache_train_features path (see that builder).
     """
     def scores(params, dev, bank_args):
         out = backbone.extract(
@@ -210,13 +211,167 @@ def _fused_eval_fn(backbone, rgb_key: str, mods, gt_size: int, metric: str,
             ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
         return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)  # (B,k),(B,k,g,g)
 
-    if not fuse:
-        return jax.jit(scores)
-
     @jax.jit
     def fn(params, dev, bank_args, wd, ws):
         s_vec, maps = scores(params, dev, bank_args)
         return s_vec @ wd, jnp.einsum("bkxy,k->bxy", maps, ws)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_scores_fn(lam, gt_size: int, metric: str, n_reweight: int,
+                     chunk, quantized_blur: bool):
+    """λ-stacked scoring of ALREADY-EXTRACTED per-modality patch tensors in
+    ONE program: normalise -> PatchCore score -> λ-weight -> stack.
+
+    Used by the OCSVM-calibration pass (after the extraction program) AND
+    by the cache_train_features path (on stored pass-1 features): sharing
+    one program keeps their calibration rows BIT-IDENTICAL (equality-tested
+    in test_e2e).  Folding extraction into this program would break that —
+    XLA re-associates float rounding across former program boundaries
+    (~1e-6, measured), which the SGD-OCSVM fit then amplifies.
+
+    lam: tuple of (lam_s, lam_m) per modality, bank order.
+    """
+    @jax.jit
+    def fn(patch_list, bank_args):
+        ss, ms = [], []
+        for patches, (lam_s, lam_m), (bank, mean, std, n_valid, nn_table) \
+                in zip(patch_list, lam, bank_args):
+            side = int(np.sqrt(patches.shape[1]))
+
+            def one(p, bank=bank, mean=mean, std=std, n_valid=n_valid,
+                    nn_table=nn_table, side=side):
+                return patchcore_score(
+                    (p - mean) / std, bank, (side, side), out_size=gt_size,
+                    metric=metric, n_reweight=n_reweight, chunk=chunk,
+                    n_valid=n_valid, quantized_blur=quantized_blur,
+                    nn_table=nn_table)
+
+            s, m = jax.vmap(one)(patches)
+            ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
+            ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
+        return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_mtfi_eval_fn(backbone, fusion, flavor: str, main_modality: str,
+                        lam, gt_size: int, metric: str, n_reweight: int,
+                        chunk, quantized_blur: bool):
+    """MTFI variant of ``_fused_eval_fn``: ONE program for main-modality
+    extraction -> hallucination (FtoF MLP/conv on features, or HRNet on the
+    raw input) -> main + fusion bank scoring -> λ-stack [-> OCSVM fusion].
+
+    flavor: 'ftof' (fusion.generate on extracted features) or 'hrnet'
+    (fusion net on the raw main-modality image).  FtoI is NOT fused — its
+    hallucinated image re-enters the other backbone through a host
+    round-trip by design (dense-pc compaction, methods/variants.py).
+    lam: (lam_s_main, lam_m_main, lam_s_fusion, lam_m_fusion).
+    """
+    main_key = "rgb_patch" if main_modality == "rgb" else "xyz_patch"
+    lam_s_m, lam_m_m, lam_s_f, lam_m_f = lam
+
+    def scores(params, dev, fusion_vars, bank_args):
+        out = backbone.extract(
+            params, images=dev.get("rgb"),
+            organized_pc=dev.get("organized_pc"),
+            compact_pts=dev.get("points_compact"))
+        if flavor == "hrnet":
+            img = dev["rgb"] if main_modality == "rgb" else dev["organized_pc"]
+            grid = fusion.apply(fusion_vars, img)           # (B, 56, 56, D)
+            hall = grid.reshape(grid.shape[0], -1, grid.shape[-1])
+        else:
+            feat = (out["rgb_patch2"] if main_modality == "rgb"
+                    else out["xyz_patch"])
+            out_type = "xyz" if main_modality == "rgb" else "rgb"
+            hall = fusion.apply(fusion_vars, feat, out_type,
+                                method="generate")
+        ss, ms = [], []
+        for patches, lam_s, lam_m, (bank, mean, std, n_valid, nn_table) in (
+                (out[main_key], lam_s_m, lam_m_m, bank_args[0]),
+                (hall, lam_s_f, lam_m_f, bank_args[1])):
+            side = int(np.sqrt(patches.shape[1]))
+
+            def one(p, bank=bank, mean=mean, std=std, n_valid=n_valid,
+                    nn_table=nn_table, side=side):
+                return patchcore_score(
+                    (p - mean) / std, bank, (side, side), out_size=gt_size,
+                    metric=metric, n_reweight=n_reweight, chunk=chunk,
+                    n_valid=n_valid, quantized_blur=quantized_blur,
+                    nn_table=nn_table)
+
+            s, m = jax.vmap(one)(patches)
+            ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
+            ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
+        return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
+
+    @jax.jit
+    def fn(params, dev, fusion_vars, bank_args, wd, ws):
+        s_vec, maps = scores(params, dev, fusion_vars, bank_args)
+        return s_vec @ wd, jnp.einsum("bkxy,k->bxy", maps, ws)
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_bank_pass_fn(backbone, rgb_key: str, flat_keys, stats_keys,
+                        hall_spec=None):
+    """ONE jitted program for the whole per-batch BANK pass: extraction
+    [-> in-program hallucination] -> f32 flatten of scored-bank rows +
+    streaming (sum, sum², count) partials for stats-only banks.  Replaces
+    extract + per-bank ``_flatten_f32``/``_sum_sumsq`` dispatches (3 for
+    Double, 5 for MTFI) with one — behind the remote relay each dispatch
+    is a ~60 ms RPC (CLAUDE.md), so a 200-sample class saves seconds of
+    pure launch latency in the fit's bank pass.
+
+    FULL batches only — the padded tail batch must use the staged appends
+    instead: a static tail slice here would re-trace (and remote-compile)
+    the whole extraction program for one odd batch, costing far more than
+    the 3-5 cheap dispatches it saves once per class.
+
+    flat_keys / stats_keys: extraction-output keys; the literal key
+    "fusion" selects the hallucinated features (hall_spec required:
+    (fusion_module, flavor, main_modality) exactly as in
+    ``_fused_mtfi_eval_fn``; FtoI keeps the staged pass — its hallucinated
+    image re-enters the other backbone via a deliberate host round-trip).
+
+    Bank rows match the staged path bit-for-bit in practice: the flatten
+    is a widening cast + reshape of the same extraction outputs, and the
+    stats partials reduce the same f32 arrays at the same shapes — there
+    is no cross-boundary scale for XLA to fold (unlike the λ-weighting in
+    the fused EVAL program); the fused-vs-staged e2e tests bound any
+    residual divergence.
+    """
+    @jax.jit
+    def fn(params, dev, fusion_vars):
+        out = backbone.extract(
+            params, images=dev.get(rgb_key),
+            organized_pc=dev.get("organized_pc"),
+            compact_pts=dev.get("points_compact"))
+        feats = dict(out)
+        if hall_spec is not None:
+            fusion, flavor, main_modality = hall_spec
+            if flavor == "hrnet":
+                img = (dev[rgb_key] if main_modality == "rgb"
+                       else dev["organized_pc"])
+                grid = fusion.apply(fusion_vars, img)       # (B, 56, 56, D)
+                feats["fusion"] = grid.reshape(grid.shape[0], -1,
+                                               grid.shape[-1])
+            else:
+                feat = (out["rgb_patch2"] if main_modality == "rgb"
+                        else out["xyz_patch"])
+                out_type = "xyz" if main_modality == "rgb" else "rgb"
+                feats["fusion"] = fusion.apply(fusion_vars, feat, out_type,
+                                               method="generate")
+        flats = tuple(
+            feats[k].astype(jnp.float32).reshape(-1, feats[k].shape[-1])
+            for k in flat_keys)
+        stats = tuple(
+            (jnp.sum(feats[k].astype(jnp.float32)),
+             jnp.sum(jnp.square(feats[k].astype(jnp.float32))),
+             jnp.int32(feats[k].size))
+            for k in stats_keys)
+        return flats, stats
     return fn
 
 
@@ -386,6 +541,16 @@ class MemoryBankMethod:
     #: their accumulation collapses to streaming partial sums.
     def _stats_only_banks(self) -> Tuple[str, ...]:
         return ()
+
+    def _batch_is_full(self, batch) -> bool:
+        """True when _n covers every stacked row (stack_batches pads the
+        tail with copies of the last sample — the fused bank pass only
+        serves full batches; the tail keeps the staged appends)."""
+        for k in ("rgb", "organized_pc", "depth3", "points_compact"):
+            v = batch.get(k)
+            if isinstance(v, np.ndarray) and v.ndim >= 3:
+                return v.shape[0] == batch["_n"]
+        return False
 
     def _append(self, name: str, patch) -> None:
         """patch: (B, Np, D), (Np, D) or (rows, D); device or host array.

@@ -59,15 +59,27 @@ class BatchedScoresMixin:
                 and self._dp_eval_mesh() is None
                 and not (self.cfg.shard_bank and len(_jax.devices()) > 1))
 
-    def _fused_fn(self, fuse: bool):
-        """(program, modalities) from the module-level fused-program cache."""
+    def _fused_fn(self):
+        """(predict program, modalities) from the module-level cache."""
         from cmdiad_tpu.methods.base import _fused_eval_fn
         mods = self._batch_modalities()
         return _fused_eval_fn(
             self.backbone, self.rgb_input_key,
             tuple((key, ls, lm) for _, key, ls, lm in mods),
             self.cfg.gt_size, self.cfg.dist_method_s, self.cfg.n_reweight,
-            self._chunk(), self.cfg.quantized_blur, fuse=fuse), mods
+            self._chunk(), self.cfg.quantized_blur), mods
+
+    def _fused_scores(self, patch_list, mods):
+        """λ-stacked scoring of extracted patches as ONE program — shared
+        verbatim with run_late_fusion_from_cache so calibration rows are
+        bit-identical whether features are recomputed or served from the
+        pass-1 cache (equality-tested)."""
+        from cmdiad_tpu.methods.base import _fused_scores_fn
+        fn = _fused_scores_fn(
+            tuple((ls, lm) for _, _, ls, lm in mods),
+            self.cfg.gt_size, self.cfg.dist_method_s, self.cfg.n_reweight,
+            self._chunk(), self.cfg.quantized_blur)
+        return fn(tuple(patch_list), self._fused_bank_args(mods))
 
     def _fused_bank_args(self, mods):
         return tuple(
@@ -79,6 +91,25 @@ class BatchedScoresMixin:
     def add_batch_to_mem_bank(self, batch, class_name=None):
         self.class_name = class_name
         n = batch["_n"]
+        if self._fused_eval_ready() and self._batch_is_full(batch):
+            # extraction + per-bank flatten/stats as ONE program
+            # (methods.base._fused_bank_pass_fn); the padded tail batch
+            # takes the staged path below instead of re-tracing extraction
+            from cmdiad_tpu.methods.base import _fused_bank_pass_fn
+            stats_only = self._stats_only_banks()
+            mods = self._batch_modalities()
+            flat = [(bn, key) for bn, key, _, _ in mods
+                    if bn not in stats_only]
+            stats = [(bn, key) for bn, key, _, _ in mods if bn in stats_only]
+            fn = _fused_bank_pass_fn(
+                self.backbone, self.rgb_input_key,
+                tuple(k for _, k in flat), tuple(k for _, k in stats))
+            flats, sums = fn(self.params, self._device_batch(batch), None)
+            for (bn, _), rows in zip(flat, flats):
+                self._bank_acc[bn].append(rows)
+            for (bn, _), part in zip(stats, sums):
+                self._stats_acc.setdefault(bn, []).append(part)
+            return
         out = self._batch_extract(batch)
         for bank_name, key, _, _ in self._batch_modalities():
             feats = out[key]
@@ -89,9 +120,16 @@ class BatchedScoresMixin:
     def _scores_batch(self, batch):
         """-> (s_vec (B, k), maps (B, k, gt, gt)) DEVICE arrays — the whole
         batched eval path is async (readback deferred to the bulk flush,
-        methods.base) and the λ-weight/stack tail is ONE jitted dispatch."""
+        methods.base) and the λ-weight/stack tail is ONE jitted dispatch.
+        On the single-device path the per-bank scoring + λ-stack further
+        collapse into the shared ``_fused_scores_fn`` program (the same one
+        the cache_train_features path runs, keeping calibration rows
+        bit-identical between recompute and cache)."""
         out = self._batch_extract(batch)
         mods = self._batch_modalities()
+        if self._fused_eval_ready():
+            return self._fused_scores([out[key] for _, key, _, _ in mods],
+                                      mods)
         cols = [self.score_patch_batch(out[key], bank_name)
                 for bank_name, key, _, _ in mods]
         return self._weight_stack(
@@ -99,14 +137,11 @@ class BatchedScoresMixin:
             tuple(m[2] for m in mods), tuple(m[3] for m in mods))
 
     def add_batch_to_late_fusion_mem_bank(self, batch):
-        if self._fused_eval_ready():
-            # extraction + scoring + λ-stack as ONE program (no OCSVM term —
-            # the calibration pass is what FITS the fusers)
-            fn, mods = self._fused_fn(fuse=False)
-            s_vec, maps = fn(self.params, self._device_batch(batch),
-                             self._fused_bank_args(mods))
-        else:
-            s_vec, maps = self._scores_batch(batch)
+        # extraction program + ONE scoring/λ-stack program when fused (3
+        # dispatches instead of 5; scoring is NOT folded into extraction so
+        # the rows stay bit-identical to the cache_train_features path) —
+        # the gate lives inside _scores_batch
+        s_vec, maps = self._scores_batch(batch)
         self._push_late_fusion_batch(s_vec, maps, batch["_n"])
 
     def predict_batch(self, batch):
@@ -114,8 +149,8 @@ class BatchedScoresMixin:
         if self._fused_eval_ready():
             # extraction + scoring + λ-stack + OCSVM fusion as ONE program
             # (methods.base._fused_eval_fn): ~5 fewer dispatch RPCs per
-            # batch behind the remote relay, identical math.
-            fn, mods = self._fused_fn(fuse=True)
+            # batch behind the remote relay; same ops, rounding-level equal.
+            fn, mods = self._fused_fn()
             s, fused = fn(self.params, self._device_batch(batch),
                           self._fused_bank_args(mods),
                           *self._fuser_weights())
@@ -145,17 +180,23 @@ class BatchedScoresMixin:
         n_samples = (self._train_cache[mods[0][0]].shape[0]
                      // tokens[first_key])
 
+        fused = self._fused_eval_ready()
         for start in range(0, n_samples, batch_size):
             stop = min(start + batch_size, n_samples)
-            cols = []
+            patch_list = []
             for bank_name, key, _, _ in mods:
                 t = tokens[key]
                 feats = self._train_cache[bank_name][start * t: stop * t]
-                patches = jnp.asarray(feats).reshape(stop - start, t, -1)
-                cols.append(self.score_patch_batch(patches, bank_name))
-            s_vec, maps = self._weight_stack(
-                [c[0] for c in cols], [c[1] for c in cols],
-                tuple(m[2] for m in mods), tuple(m[3] for m in mods))
+                patch_list.append(
+                    jnp.asarray(feats).reshape(stop - start, t, -1))
+            if fused:  # same program as the recompute calibration pass
+                s_vec, maps = self._fused_scores(patch_list, mods)
+            else:
+                cols = [self.score_patch_batch(p, bn)
+                        for p, (bn, _, _, _) in zip(patch_list, mods)]
+                s_vec, maps = self._weight_stack(
+                    [c[0] for c in cols], [c[1] for c in cols],
+                    tuple(m[2] for m in mods), tuple(m[3] for m in mods))
             self._push_late_fusion_batch(s_vec, maps, stop - start)
         self._train_cache = None
         self.run_late_fusion()
@@ -476,6 +517,36 @@ class HallucinationMethod(MemoryBankMethod):
     def add_batch_to_mem_bank(self, batch, class_name=None):
         self.class_name = class_name
         n = batch["_n"]
+        c = self.cfg
+        if (self._fused_eval_ready() and self._batch_is_full(batch)):
+            # extraction + in-program hallucination + per-bank flatten /
+            # streamed stats as ONE program (5 dispatches -> 1); the padded
+            # tail batch takes the staged path below (re-tracing the whole
+            # extraction for one odd slice would cost a remote compile)
+            from cmdiad_tpu.methods.base import _fused_bank_pass_fn
+            stats_only = self._stats_only_banks()
+            keymap = {"rgb": "rgb_patch", "xyz": "xyz_patch",
+                      "fusion": "fusion"}
+            flat = [bn for bn in self.bank_names if bn not in stats_only]
+            stats = [bn for bn in self.bank_names if bn in stats_only]
+            fn = _fused_bank_pass_fn(
+                self.backbone, "rgb",
+                tuple(keymap[bn] for bn in flat),
+                tuple(keymap[bn] for bn in stats),
+                hall_spec=(self.fusion,
+                           "hrnet" if c.use_hrnet else "ftof",
+                           c.main_modality))
+            flats, sums = fn(self.params, self._device_batch(batch),
+                             self.fusion_vars)
+            tokens = {"rgb": self.backbone.vit_config.grid ** 2,
+                      "xyz": 56 * 56}
+            for bn, rows in zip(flat, flats):
+                self._bank_acc[bn].append(rows)
+                tokens[bn] = rows.shape[0] // n
+            for bn, part in zip(stats, sums):
+                self._stats_acc.setdefault(bn, []).append(part)
+            self._bank_tokens = tokens
+            return
         out = self.extract(batch)
         hall = self._hall(batch, out)
         self._bank_tokens = {"rgb": out["rgb_patch"].shape[-2],
@@ -491,6 +562,11 @@ class HallucinationMethod(MemoryBankMethod):
         out = self._inference_extract(batch)
         hall = self._hall(batch, out)
         main, key, lam_s, lam_m = self._main_keys()
+        if self._fused_scores_ready():
+            # dual scoring + λ-stack as ONE program (applies to FtoI too,
+            # whose hallucination keeps its deliberate host round-trip) —
+            # the same _fused_scores_fn program the cache path runs
+            return self._fused_scores([out[key], hall], main)
         s_m, m_m = self.score_patch_batch(out[key], main)
         s_f, m_f = self.score_patch_batch(hall, "fusion")
         c = self.cfg
@@ -498,13 +574,90 @@ class HallucinationMethod(MemoryBankMethod):
             [s_m, s_f], [m_m, m_f],
             (lam_s, c.fusion_s_lambda), (lam_m, c.fusion_smap_lambda))
 
+    # ---- fused single-dispatch eval (mirrors BatchedScoresMixin) -----------
+    def _fused_scores_ready(self) -> bool:
+        """Scoring-stage fusion (dual scoring + λ-stack as one program)
+        applies to every flavor on the single-device path, FtoI included."""
+        import jax as _jax
+        c = self.cfg
+        return (c.fused_eval and self._dp_eval_mesh() is None
+                and not (c.shard_bank and len(_jax.devices()) > 1))
+
+    def _fused_eval_ready(self) -> bool:
+        """FtoF/ItoF hallucination is pure device math, so the whole chain
+        (main-modality extraction -> hallucinate -> dual scoring -> λ-stack
+        -> fusion) fuses into one program.  FtoI never qualifies for the
+        FULL program: its hallucinated image re-enters the other backbone
+        via a deliberate host round-trip (dense-pc compaction, see
+        HallucinationFromFeatureMethod._hall) — the use_hn/use_hrnet flags
+        are all False there, so the gate falls through naturally (FtoI
+        still gets the scoring-stage fusion via _fused_scores_ready)."""
+        c = self.cfg
+        return (self._fused_scores_ready()
+                and (c.use_hn or c.use_hn_conv or c.use_hrnet))
+
+    def _fused_fn(self):
+        from cmdiad_tpu.methods.base import _fused_mtfi_eval_fn
+        c = self.cfg
+        main, _, lam_s, lam_m = self._main_keys()
+        fn = _fused_mtfi_eval_fn(
+            self.backbone, self.fusion,
+            "hrnet" if c.use_hrnet else "ftof", c.main_modality,
+            (lam_s, lam_m, c.fusion_s_lambda, c.fusion_smap_lambda),
+            c.gt_size, c.dist_method_s, c.n_reweight, self._chunk(),
+            c.quantized_blur)
+        return fn, main
+
+    def _fused_scores(self, patch_list, main):
+        """Shared scores/λ-stack program (methods.base._fused_scores_fn) —
+        the SAME program scores recomputed and cache_train_features
+        calibration batches, keeping their rows bit-identical."""
+        from cmdiad_tpu.methods.base import _fused_scores_fn
+        c = self.cfg
+        _, _, lam_s, lam_m = self._main_keys()
+        fn = _fused_scores_fn(
+            ((lam_s, lam_m), (c.fusion_s_lambda, c.fusion_smap_lambda)),
+            c.gt_size, c.dist_method_s, c.n_reweight, self._chunk(),
+            c.quantized_blur)
+        return fn(tuple(patch_list), self._fused_bank_args(main))
+
+    def _fused_inputs(self, batch):
+        """Main-modality sub-batch on device (same keys
+        _inference_extract feeds the staged path)."""
+        if self.cfg.main_modality == "rgb":
+            sub = {"rgb": batch["rgb"]}
+        else:
+            sub = {"organized_pc": batch["organized_pc"]}
+            if "points_compact" in batch:
+                sub["points_compact"] = batch["points_compact"]
+        return self._device_batch(sub)
+
+    def _fused_bank_args(self, main: str):
+        return tuple(
+            (self.banks[bn], jnp.float32(self.stats[bn][0]),
+             jnp.float32(self.stats[bn][1]), jnp.int32(self.bank_sizes[bn]),
+             self.nn_tables.get(bn)) for bn in (main, "fusion"))
+
     def add_batch_to_late_fusion_mem_bank(self, batch):
+        # extraction + hallucination programs + ONE scoring/λ-stack program
+        # when fused (not folded further: the scoring program is shared with
+        # the cache_train_features path for bit-equal rows) — the gate lives
+        # inside _scores_batch
         s_vec, maps = self._scores_batch(batch)
         self._push_late_fusion_batch(s_vec, maps, batch["_n"])
 
     def predict_batch(self, batch):
-        s_vec, maps = self._scores_batch(batch)
         n = batch["_n"]
+        if self._fused_eval_ready():
+            fn, main = self._fused_fn()
+            s, fused = fn(self.params, self._fused_inputs(batch),
+                          self.fusion_vars, self._fused_bank_args(main),
+                          *self._fuser_weights())
+            self._record_prediction_fused(s, fused, batch["gt"][:n],
+                                          batch["label"][:n],
+                                          batch["rgb_path"][:n])
+            return
+        s_vec, maps = self._scores_batch(batch)
         self._record_prediction_batch(s_vec, maps, batch["gt"][:n],
                                       batch["label"][:n],
                                       batch["rgb_path"][:n])
@@ -525,16 +678,25 @@ class HallucinationMethod(MemoryBankMethod):
         t_main = self._bank_tokens[main]
         t_fus = self._bank_tokens["fusion"]
         n_samples = self._train_cache[main].shape[0] // t_main
+        # scoring-stage gate (NOT the full-program gate): must match
+        # _scores_batch so cache and recompute rows stay bit-identical —
+        # for FtoI too, which never qualifies for the full fused program
+        fused = self._fused_scores_ready()
         for start in range(0, n_samples, batch_size):
             stop = min(start + batch_size, n_samples)
-            cols = []
+            patch_list = []
             for name, t in ((main, t_main), ("fusion", t_fus)):
                 feats = self._train_cache[name][start * t: stop * t]
-                patches = jnp.asarray(feats).reshape(stop - start, t, -1)
-                cols.append(self.score_patch_batch(patches, name))
-            s_vec, maps = self._weight_stack(
-                [cols[0][0], cols[1][0]], [cols[0][1], cols[1][1]],
-                (lam_s, c.fusion_s_lambda), (lam_m, c.fusion_smap_lambda))
+                patch_list.append(
+                    jnp.asarray(feats).reshape(stop - start, t, -1))
+            if fused:  # same program as the recompute calibration pass
+                s_vec, maps = self._fused_scores(patch_list, main)
+            else:
+                cols = [self.score_patch_batch(p, name) for p, name in
+                        zip(patch_list, (main, "fusion"))]
+                s_vec, maps = self._weight_stack(
+                    [cols[0][0], cols[1][0]], [cols[0][1], cols[1][1]],
+                    (lam_s, c.fusion_s_lambda), (lam_m, c.fusion_smap_lambda))
             self._push_late_fusion_batch(s_vec, maps, stop - start)
         self._train_cache = None
         self.run_late_fusion()

@@ -275,19 +275,127 @@ def test_rgb_method_e2e_37x37_grid(tmp_path):
     assert m["pixel_rocauc"] > 0.5, m
 
 
-@pytest.mark.parametrize("method", ["DINO+Point_MAE", "Point_MAE"])
+@pytest.mark.parametrize("method", ["DINO+Point_MAE", "Point_MAE", "Depth"])
 def test_fused_eval_matches_staged(dataset_root, method):
     """cfg.fused_eval folds the whole per-batch eval chain (extraction,
     per-bank scoring, λ-stack, OCSVM fusion) into ONE jitted program — the
-    same jit bodies inlined — so predictions must be IDENTICAL to the
-    staged path it replaces."""
+    same operations inlined.  XLA may legally re-associate float rounding
+    across the former program boundaries (measured ~1e-6 absolute on the λ
+    map scaling), so predictions are compared at rounding-level tolerance,
+    not bitwise; anything beyond that level is a real semantic divergence."""
     m_f, r_f = _run_r(_cfg(method_name=method, batch_size=2,
                            fused_eval=True), dataset_root)
     m_s, r_s = _run_r(_cfg(method_name=method, batch_size=2,
                            fused_eval=False), dataset_root)
-    np.testing.assert_array_equal(np.asarray(r_f.method.image_preds),
-                                  np.asarray(r_s.method.image_preds))
-    np.testing.assert_array_equal(np.stack(r_f.method.predictions),
-                                  np.stack(r_s.method.predictions))
+    np.testing.assert_allclose(np.asarray(r_f.method.image_preds),
+                               np.asarray(r_s.method.image_preds),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.stack(r_f.method.predictions),
+                               np.stack(r_s.method.predictions),
+                               rtol=1e-4, atol=1e-6)
     for k in m_f:
-        assert m_f[k] == m_s[k], (k, m_f, m_s)
+        assert abs(m_f[k] - m_s[k]) < 5e-3, (k, m_f, m_s)
+
+
+@pytest.mark.parametrize("flavor", ["ftof", "hrnet"])
+def test_mtfi_fused_eval_matches_staged(dataset_root, flavor):
+    """The MTFI fused program (main extraction -> hallucinate -> dual
+    scoring -> λ-stack [-> OCSVM] as ONE dispatch) must reproduce the
+    staged chain at float-rounding tolerance, batch by batch, against the
+    SAME fitted state — for both hallucination flavors (FtoF MLP on
+    features; ItoF HRNet on the raw organized pc).  Full-run metric
+    equality is deliberately NOT the contract here: XLA re-associates
+    ~1e-6 of rounding across the former program boundaries, and the tiny
+    fixture's SGD-OCSVM refit amplifies that into rank flips of its
+    near-zero decision values."""
+    from cmdiad_tpu.data.loader import iter_samples, stack_batches
+    from cmdiad_tpu.data.mvtec3d import MVTec3DDataset
+
+    if flavor == "ftof":
+        _, r = _mtfi_ftof_run(dataset_root, batch_size=2, fused_eval=False)
+    else:
+        from cmdiad_tpu.methods import registry as reg
+        cfg = _cfg(method_name="WithHallucination", main_modality="xyz",
+                   use_hrnet=True, batch_size=2,
+                   fused_eval=False).replace(dataset_path=dataset_root)
+        bb = _small_backbone()
+        fusion, fusion_vars = reg.build_fusion(cfg, bb)
+        method = reg._METHODS["WithHallucination"](
+            cfg, bb, bb.init_params(0), fusion=fusion,
+            fusion_vars=fusion_vars)
+        r = CMDIADRunner.__new__(CMDIADRunner)
+        r.cfg, r.method, r.timings = cfg, method, {}
+        r.fit("widget")
+        r.evaluate("widget")
+    m = r.method
+    ds = MVTec3DDataset(dataset_root, "widget", "test", rgb_size=SIZE,
+                        xyz_size=SIZE, gt_size=SIZE)
+    fn_full, main = m._fused_fn()
+    _, key, _, _ = m._main_keys()
+    wd, ws = m._fuser_weights()
+    for batch in stack_batches(iter_samples(ds), 2):
+        s_st, maps_st = m._scores_batch(batch)
+        # the shared scores program (calibration + cache path) on the same
+        # extracted patches must match the staged per-bank scoring
+        out = m._inference_extract(batch)
+        hall = m._hall(batch, out)
+        s_fu, maps_fu = m._fused_scores([out[key], hall], main)
+        np.testing.assert_allclose(np.asarray(s_fu), np.asarray(s_st),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(maps_fu), np.asarray(maps_st),
+                                   rtol=1e-4, atol=1e-5)
+        # the full predict program re-runs extraction + hallucination
+        # in-program and appends the linear OCSVM map
+        s, fused_map = fn_full(m.params, m._fused_inputs(batch),
+                               m.fusion_vars, m._fused_bank_args(main),
+                               wd, ws)
+        np.testing.assert_allclose(
+            np.asarray(s), np.asarray(s_st) @ np.asarray(wd),
+            rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(fused_map),
+            np.einsum("bkxy,k->bxy", np.asarray(maps_st), np.asarray(ws)),
+            rtol=1e-4, atol=1e-5)
+
+
+def test_mtfi_ftoi_e2e_and_fused_scores(dataset_root):
+    """FtoI end-to-end (first e2e coverage of WithHallucinationFromFeature:
+    rgb features -> hallucinated organized pc -> re-encoded through the
+    point backbone, reference multiple_features.py:576-797), plus the
+    scoring-stage fusion contract: FtoI never qualifies for the FULL fused
+    program (its hallucination re-enters the other backbone via a
+    deliberate host round-trip) but its dual scoring + λ-stack still
+    collapse into the shared _fused_scores_fn program, which must match
+    the staged per-bank scoring at rounding tolerance."""
+    from cmdiad_tpu.data.loader import iter_samples, stack_batches
+    from cmdiad_tpu.data.mvtec3d import MVTec3DDataset
+    from cmdiad_tpu.methods import registry as reg
+
+    cfg = _cfg(method_name="WithHallucinationFromFeature",
+               main_modality="rgb", use_hn_from_rgb_mlp=True, batch_size=2,
+               fused_eval=False).replace(dataset_path=dataset_root)
+    bb = _small_backbone()
+    fusion, fusion_vars = reg.build_fusion(cfg, bb)
+    method = reg._METHODS["WithHallucinationFromFeature"](
+        cfg, bb, bb.init_params(0), fusion=fusion, fusion_vars=fusion_vars)
+    r = CMDIADRunner.__new__(CMDIADRunner)
+    r.cfg, r.method, r.timings = cfg, method, {}
+    r.fit("widget")
+    metrics = r.evaluate("widget")
+    for k in ("image_rocauc", "pixel_rocauc", "au_pro"):
+        assert 0.0 <= metrics[k] <= 1.0, (k, metrics)
+
+    m = r.method
+    ds = MVTec3DDataset(dataset_root, "widget", "test", rgb_size=SIZE,
+                        xyz_size=SIZE, gt_size=SIZE)
+    for batch in stack_batches(iter_samples(ds), 2):
+        m.cfg = cfg                                  # staged scoring
+        assert not m._fused_scores_ready()
+        s_st, maps_st = m._scores_batch(batch)
+        m.cfg = cfg.replace(fused_eval=True)         # fused scoring stage
+        assert m._fused_scores_ready() and not m._fused_eval_ready()
+        s_fu, maps_fu = m._scores_batch(batch)
+        np.testing.assert_allclose(np.asarray(s_fu), np.asarray(s_st),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(maps_fu), np.asarray(maps_st),
+                                   rtol=1e-4, atol=1e-5)
