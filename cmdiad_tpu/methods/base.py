@@ -181,12 +181,49 @@ def _fused_eval_fn(backbone, rgb_key: str, mods, gt_size: int, metric: str,
     ``run_detection`` reuse the traced program.
 
     mods: tuple of (feature_key, lam_s, lam_m) per bank, bank order.
-    Single-device path only — DP-eval meshes and row-sharded banks keep the
-    staged path (their collectives live in the scoring stage).  The
-    calibration fit pass deliberately does NOT use this program — it runs
-    extraction + the shared ``_fused_scores_fn`` so its rows stay
-    bit-identical to the cache_train_features path (see that builder).
+    Single-device program — DP-eval meshes use ``_fused_eval_dp_fn`` (the
+    same body under shard_map) and row-sharded banks keep the staged path
+    (their collectives live in the scoring stage).  The calibration fit
+    pass deliberately does NOT use this program — it runs extraction + the
+    shared ``_fused_scores_fn`` so its rows stay bit-identical to the
+    cache_train_features path (see that builder).
     """
+    return jax.jit(_build_fused_predict_body(
+        backbone, rgb_key, mods, gt_size, metric, n_reweight, chunk,
+        quantized_blur))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_eval_dp_fn(mesh, backbone, rgb_key: str, mods, gt_size: int,
+                      metric: str, n_reweight: int, chunk,
+                      quantized_blur: bool):
+    """Data-parallel variant of ``_fused_eval_fn``: ONE shard_map program
+    runs the whole predict chain (extraction -> scoring -> λ-stack -> OCSVM
+    fusion) on each device's local batch shard against the replicated
+    params/banks/fuser weights — no collectives, and the ~5 staged
+    dispatches per batch (sharded extract, per-bank sharded scoring, stack,
+    fuse) collapse to 1.  shard_map rather than sharded-input jit because
+    GSPMD has no partitioning rule for the Mosaic custom calls inside
+    extraction/scoring (CLAUDE.md).  Requires the (loader-padded) batch to
+    be divisible by the mesh's 'data' axis — the caller gates on that.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    body = _build_fused_predict_body(backbone, rgb_key, mods, gt_size,
+                                     metric, n_reweight, chunk,
+                                     quantized_blur)
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P(), P()),
+        out_specs=P("data"), check_vma=False))
+
+
+def _build_fused_predict_body(backbone, rgb_key, mods, gt_size, metric,
+                              n_reweight, chunk, quantized_blur):
+    """The shared fused-predict body: (params, dev, bank_args, wd, ws) ->
+    (s (B,), fused map (B, gt, gt)).  Jitted plain by ``_fused_eval_fn``,
+    shard_map-wrapped by ``_fused_eval_dp_fn``."""
     def scores(params, dev, bank_args):
         out = backbone.extract(
             params, images=dev.get(rgb_key),
@@ -211,7 +248,6 @@ def _fused_eval_fn(backbone, rgb_key: str, mods, gt_size: int, metric: str,
             ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
         return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)  # (B,k),(B,k,g,g)
 
-    @jax.jit
     def fn(params, dev, bank_args, wd, ws):
         s_vec, maps = scores(params, dev, bank_args)
         return s_vec @ wd, jnp.einsum("bkxy,k->bxy", maps, ws)

@@ -69,6 +69,33 @@ class BatchedScoresMixin:
             self.cfg.gt_size, self.cfg.dist_method_s, self.cfg.n_reweight,
             self._chunk(), self.cfg.quantized_blur), mods
 
+    def _fused_dp_fn(self, batch):
+        """(DP predict program, modalities) when the whole predict chain can
+        run as ONE shard_map program over the data-parallel eval mesh
+        (cfg.mesh_shape, loader-padded batch divisible by the 'data' axis);
+        None otherwise.  Replaces ~5 staged dispatches per batch (sharded
+        extract, per-bank sharded scoring, λ-stack, OCSVM fuse) with one."""
+        if not self.cfg.fused_eval:
+            return None, None
+        mesh = self._dp_eval_mesh()
+        if mesh is None:
+            return None, None
+        for k in ("rgb", "organized_pc", "depth3", "points_compact"):
+            v = batch.get(k)
+            if isinstance(v, np.ndarray) and v.ndim >= 3:
+                if v.shape[0] % mesh.shape["data"] != 0:
+                    return None, None
+                break
+        else:
+            return None, None
+        from cmdiad_tpu.methods.base import _fused_eval_dp_fn
+        mods = self._batch_modalities()
+        return _fused_eval_dp_fn(
+            mesh, self.backbone, self.rgb_input_key,
+            tuple((key, ls, lm) for _, key, ls, lm in mods),
+            self.cfg.gt_size, self.cfg.dist_method_s, self.cfg.n_reweight,
+            self._chunk(), self.cfg.quantized_blur), mods
+
     def _fused_scores(self, patch_list, mods):
         """λ-stacked scoring of extracted patches as ONE program — shared
         verbatim with run_late_fusion_from_cache so calibration rows are
@@ -146,11 +173,13 @@ class BatchedScoresMixin:
 
     def predict_batch(self, batch):
         n = batch["_n"]
-        if self._fused_eval_ready():
+        fn, mods = (self._fused_fn() if self._fused_eval_ready()
+                    else self._fused_dp_fn(batch))
+        if fn is not None:
             # extraction + scoring + λ-stack + OCSVM fusion as ONE program
-            # (methods.base._fused_eval_fn): ~5 fewer dispatch RPCs per
-            # batch behind the remote relay; same ops, rounding-level equal.
-            fn, mods = self._fused_fn()
+            # (methods.base._fused_eval_fn, or its shard_map DP variant):
+            # ~5 fewer dispatch RPCs per batch behind the remote relay;
+            # same ops, rounding-level equal.
             s, fused = fn(self.params, self._device_batch(batch),
                           self._fused_bank_args(mods),
                           *self._fuser_weights())

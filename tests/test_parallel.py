@@ -99,12 +99,35 @@ def test_e2e_dp_eval_matches_single_device(rng, tmp_path_factory):
                      max_sample=10, batch_size=8, mesh_shape=mesh_shape)
         r = CMDIADRunner(cfg, backbone=bb, params=params)
         r.fit("widget")
-        return r.evaluate("widget")
+        return r.evaluate("widget"), r
 
-    m1 = run(())
-    m8 = run((8,))
+    m1, _ = run(())
+    m8, r8 = run((8,))
     for k in m1:
         assert abs(m1[k] - m8[k]) < 5e-3, (k, m1, m8)
+
+    # the DP run must have used the ONE-dispatch shard_map predict program
+    # (not a silent fallback), and its per-batch outputs must match the
+    # staged DP chain at rounding tolerance against the same fitted state
+    from cmdiad_tpu.data.loader import iter_samples, stack_batches
+    from cmdiad_tpu.data.mvtec3d import MVTec3DDataset
+    from cmdiad_tpu.methods.base import _fuse_predict
+    m = r8.method
+    assert not m._fused_eval_ready()     # mesh path, not the 1-device one
+    ds = MVTec3DDataset(root, "widget", "test", rgb_size=64, xyz_size=64,
+                        gt_size=64)
+    batch = next(stack_batches(iter_samples(ds), 8))
+    fn, mods = m._fused_dp_fn(batch)
+    assert fn is not None
+    s_dp, fused_dp = fn(m.params, m._device_batch(batch),
+                        m._fused_bank_args(mods), *m._fuser_weights())
+    m.cfg = m.cfg.replace(fused_eval=False)
+    s_vec, maps = m._scores_batch(batch)           # staged sharded chain
+    s_st, fused_st = _fuse_predict(s_vec, maps, *m._fuser_weights())
+    np.testing.assert_allclose(np.asarray(s_dp), np.asarray(s_st),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused_dp), np.asarray(fused_st),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_e2e_sharded_bank_scoring(rng, tmp_path_factory):
