@@ -305,6 +305,37 @@ def _fused_mtfi_eval_fn(backbone, fusion, flavor: str, main_modality: str,
     round-trip by design (dense-pc compaction, methods/variants.py).
     lam: (lam_s_main, lam_m_main, lam_s_fusion, lam_m_fusion).
     """
+    return jax.jit(_build_fused_mtfi_predict_body(
+        backbone, fusion, flavor, main_modality, lam, gt_size, metric,
+        n_reweight, chunk, quantized_blur))
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_mtfi_eval_dp_fn(mesh, backbone, fusion, flavor: str,
+                           main_modality: str, lam, gt_size: int,
+                           metric: str, n_reweight: int, chunk,
+                           quantized_blur: bool):
+    """Data-parallel MTFI predict: the same fused body under shard_map over
+    the cfg.mesh_shape mesh (batch sharded on 'data'; params, fusion
+    variables, banks and fuser weights replicated; no collectives) — the
+    MTFI analogue of ``_fused_eval_dp_fn``."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    body = _build_fused_mtfi_predict_body(
+        backbone, fusion, flavor, main_modality, lam, gt_size, metric,
+        n_reweight, chunk, quantized_blur)
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P(), P(), P()),
+        out_specs=P("data"), check_vma=False))
+
+
+def _build_fused_mtfi_predict_body(backbone, fusion, flavor, main_modality,
+                                   lam, gt_size, metric, n_reweight, chunk,
+                                   quantized_blur):
+    """Shared MTFI fused-predict body: (params, dev, fusion_vars, bank_args,
+    wd, ws) -> (s (B,), fused map (B, gt, gt))."""
     main_key = "rgb_patch" if main_modality == "rgb" else "xyz_patch"
     lam_s_m, lam_m_m, lam_s_f, lam_m_f = lam
 
@@ -342,7 +373,6 @@ def _fused_mtfi_eval_fn(backbone, fusion, flavor: str, main_modality: str,
             ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
         return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
 
-    @jax.jit
     def fn(params, dev, fusion_vars, bank_args, wd, ws):
         s_vec, maps = scores(params, dev, fusion_vars, bank_args)
         return s_vec @ wd, jnp.einsum("bkxy,k->bxy", maps, ws)
@@ -587,6 +617,22 @@ class MemoryBankMethod:
             if isinstance(v, np.ndarray) and v.ndim >= 3:
                 return v.shape[0] == batch["_n"]
         return False
+
+    def _dp_fused_mesh(self, batch):
+        """Mesh for the ONE-dispatch fused DP predict (shard_map around the
+        whole chain), or None.  Gate: cfg.fused_eval, a data-parallel eval
+        mesh, and the loader-padded batch divisible by the 'data' axis."""
+        if not self.cfg.fused_eval:
+            return None
+        mesh = self._dp_eval_mesh()
+        if mesh is None:
+            return None
+        for k in ("rgb", "organized_pc", "depth3", "points_compact"):
+            v = batch.get(k)
+            if isinstance(v, np.ndarray) and v.ndim >= 3:
+                return (mesh if v.shape[0] % mesh.shape["data"] == 0
+                        else None)
+        return None
 
     def _append(self, name: str, patch) -> None:
         """patch: (B, Np, D), (Np, D) or (rows, D); device or host array.

@@ -75,18 +75,8 @@ class BatchedScoresMixin:
         (cfg.mesh_shape, loader-padded batch divisible by the 'data' axis);
         None otherwise.  Replaces ~5 staged dispatches per batch (sharded
         extract, per-bank sharded scoring, λ-stack, OCSVM fuse) with one."""
-        if not self.cfg.fused_eval:
-            return None, None
-        mesh = self._dp_eval_mesh()
+        mesh = self._dp_fused_mesh(batch)
         if mesh is None:
-            return None, None
-        for k in ("rgb", "organized_pc", "depth3", "points_compact"):
-            v = batch.get(k)
-            if isinstance(v, np.ndarray) and v.ndim >= 3:
-                if v.shape[0] % mesh.shape["data"] != 0:
-                    return None, None
-                break
-        else:
             return None, None
         from cmdiad_tpu.methods.base import _fused_eval_dp_fn
         mods = self._batch_modalities()
@@ -637,6 +627,27 @@ class HallucinationMethod(MemoryBankMethod):
             c.quantized_blur)
         return fn, main
 
+    def _fused_dp_fn(self, batch):
+        """(DP predict program, main bank name) — the MTFI analogue of
+        BatchedScoresMixin._fused_dp_fn: ONE shard_map program for
+        extraction -> hallucination -> dual scoring -> λ-stack -> fusion
+        over the cfg.mesh_shape mesh.  FtoF/ItoF only (same reason as
+        _fused_eval_ready: FtoI hallucination is a host round-trip)."""
+        c = self.cfg
+        if not (c.use_hn or c.use_hn_conv or c.use_hrnet):
+            return None, None
+        mesh = self._dp_fused_mesh(batch)
+        if mesh is None:
+            return None, None
+        from cmdiad_tpu.methods.base import _fused_mtfi_eval_dp_fn
+        main, _, lam_s, lam_m = self._main_keys()
+        return _fused_mtfi_eval_dp_fn(
+            mesh, self.backbone, self.fusion,
+            "hrnet" if c.use_hrnet else "ftof", c.main_modality,
+            (lam_s, lam_m, c.fusion_s_lambda, c.fusion_smap_lambda),
+            c.gt_size, c.dist_method_s, c.n_reweight, self._chunk(),
+            c.quantized_blur), main
+
     def _fused_scores(self, patch_list, main):
         """Shared scores/λ-stack program (methods.base._fused_scores_fn) —
         the SAME program scores recomputed and cache_train_features
@@ -677,8 +688,9 @@ class HallucinationMethod(MemoryBankMethod):
 
     def predict_batch(self, batch):
         n = batch["_n"]
-        if self._fused_eval_ready():
-            fn, main = self._fused_fn()
+        fn, main = (self._fused_fn() if self._fused_eval_ready()
+                    else self._fused_dp_fn(batch))
+        if fn is not None:
             s, fused = fn(self.params, self._fused_inputs(batch),
                           self.fusion_vars, self._fused_bank_args(main),
                           *self._fuser_weights())

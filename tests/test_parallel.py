@@ -130,6 +130,74 @@ def test_e2e_dp_eval_matches_single_device(rng, tmp_path_factory):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_e2e_mtfi_dp_eval_matches_single_device(rng, tmp_path_factory):
+    """MTFI (FtoF) under cfg.mesh_shape=(8,): metrics match the
+    single-device run, and the ONE-dispatch shard_map MTFI predict program
+    (extraction -> hallucination -> dual scoring -> λ-stack -> fusion,
+    methods/base._fused_mtfi_eval_dp_fn) is actually selected."""
+    from cmdiad_tpu.config import Config
+    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+    from cmdiad_tpu.data.loader import iter_samples, stack_batches
+    from cmdiad_tpu.data.mvtec3d import MVTec3DDataset
+    from cmdiad_tpu.models.backbone import DualBackbone
+    from cmdiad_tpu.models.vit import ViTConfig
+    from cmdiad_tpu.models.point_mae import PointMAEConfig
+    from cmdiad_tpu.models.hallucination import FtoFMlp
+    from cmdiad_tpu.methods.registry import _METHODS
+    from cmdiad_tpu.runner import CMDIADRunner
+
+    root = make_synthetic_dataset(
+        str(tmp_path_factory.mktemp("synth_mtfi_dp")), size=64, n_train=5,
+        n_test_good=2, n_test_bad=3)
+    bb = DualBackbone(
+        vit_config=ViTConfig(img_size=64, patch_size=8, embed_dim=32,
+                             depth=1, num_heads=2),
+        pm_config=PointMAEConfig(num_group=32, group_size=16, encoder_dims=16,
+                                 trans_dim=16, depth=1, num_heads=2,
+                                 fetch_idx=(0,)),
+        use_pallas=False, image_size=64)
+    params = bb.init_params(0)
+    net = FtoFMlp(16, 32)
+    fusion_vars = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)),
+                           jnp.zeros((1, 4, 32)))
+
+    def run(mesh_shape):
+        cfg = Config(method_name="WithHallucination", dataset_path=root,
+                     main_modality="xyz", use_hn=True,
+                     rgb_size=64, xyz_size=64, gt_size=64, f_coreset=0.5,
+                     max_sample=10, batch_size=8, mesh_shape=mesh_shape)
+        method = _METHODS["WithHallucination"](
+            cfg, bb, params, fusion=net, fusion_vars=fusion_vars)
+        r = CMDIADRunner.__new__(CMDIADRunner)
+        r.cfg, r.method, r.timings = cfg, method, {}
+        r.fit("widget")
+        return r.evaluate("widget"), r
+
+    m1, _ = run(())
+    m8, r8 = run((8,))
+    for k in m1:
+        assert abs(m1[k] - m8[k]) < 5e-3, (k, m1, m8)
+
+    m = r8.method
+    assert not m._fused_eval_ready()
+    ds = MVTec3DDataset(root, "widget", "test", rgb_size=64, xyz_size=64,
+                        gt_size=64)
+    batch = next(stack_batches(iter_samples(ds), 8))
+    fn, main = m._fused_dp_fn(batch)
+    assert fn is not None
+    s_dp, fused_dp = fn(m.params, m._fused_inputs(batch), m.fusion_vars,
+                        m._fused_bank_args(main), *m._fuser_weights())
+    assert np.isfinite(np.asarray(s_dp)).all()
+    from cmdiad_tpu.methods.base import _fuse_predict
+    m.cfg = m.cfg.replace(fused_eval=False)
+    s_vec, maps = m._scores_batch(batch)            # staged sharded chain
+    s_st, fused_st = _fuse_predict(s_vec, maps, *m._fuser_weights())
+    np.testing.assert_allclose(np.asarray(s_dp), np.asarray(s_st),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused_dp), np.asarray(fused_st),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_e2e_sharded_bank_scoring(rng, tmp_path_factory):
     """Full Point_MAE method with shard_bank=True matches replicated banks."""
     from cmdiad_tpu.config import Config
