@@ -52,10 +52,11 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, dc_type) -> None:
             parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=default)
         elif typ is tuple:
-            # mesh_shape etc.: --mesh_shape 4,2 -> (4, 2); multi-chip DP
-            # eval and --shard_bank are reachable without writing Python
+            # mesh_shape etc.: --mesh_shape 8 -> (8,); multi-chip DP eval
+            # and --shard_bank are reachable without writing Python (detect
+            # meshes are 1-D data-parallel — Config.validate enforces it)
             parser.add_argument(name, type=_parse_int_tuple, default=default,
-                                help="comma-separated ints, e.g. '4,2'")
+                                help="comma-separated ints, e.g. '8'")
         elif typ is not None:
             # Optional[int/float] fields must not degrade to str parsing
             parser.add_argument(name, type=typ, default=default)

@@ -169,6 +169,14 @@ class Config:
                     "or use_hn_from_rgb_conv (feature-to-input nets)")
         if self.dist_method_s not in ("l2", "l1", "cos_dist"):
             raise ValueError(f"bad dist_method_s {self.dist_method_s!r}")
+        if len(self.mesh_shape) > 1:
+            # detection meshes are data-parallel only: every consumer builds
+            # Mesh(devices.reshape(shape), ('data',)) — a 2-D shape would
+            # crash mid-fit with an opaque reshape error (TP/PP axes exist
+            # in the training TrainConfig and the dryrun, not here)
+            raise ValueError(
+                f"detection mesh_shape must be 1-D (data-parallel), e.g. "
+                f"(8,) — got {self.mesh_shape!r}")
         return self
 
 

@@ -160,6 +160,37 @@ def _fuse_predict(s_vec, s_maps, wd, ws):
     return s, fused
 
 
+def _lam_weighted_scores(entries, gt_size, metric, n_reweight, chunk,
+                         quantized_blur):
+    """Traced-context core shared by every fused program builder: per bank,
+    normalise -> vmapped PatchCore score -> λ-weight, then stack.
+
+    entries: iterable of (patches (B, Np, D), lam_s, lam_m,
+    (bank, mean, std, n_valid, nn_table)).  Keeping this in ONE place is
+    what guarantees the fused predict, the calibration scorer and the MTFI
+    predict all run the identical per-bank math — a divergence here would
+    silently split fused vs staged results (they are equality-/
+    tolerance-tested against each other in test_e2e).
+    -> (s_vec (B, k), maps (B, k, gt, gt)), both f32.
+    """
+    ss, ms = [], []
+    for patches, lam_s, lam_m, (bank, mean, std, n_valid, nn_table) in entries:
+        side = int(np.sqrt(patches.shape[1]))
+
+        def one(p, bank=bank, mean=mean, std=std, n_valid=n_valid,
+                nn_table=nn_table, side=side):
+            return patchcore_score(
+                (p - mean) / std, bank, (side, side), out_size=gt_size,
+                metric=metric, n_reweight=n_reweight, chunk=chunk,
+                n_valid=n_valid, quantized_blur=quantized_blur,
+                nn_table=nn_table)
+
+        s, m = jax.vmap(one)(patches)
+        ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
+        ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
+    return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_eval_fn(backbone, rgb_key: str, mods, gt_size: int, metric: str,
                    n_reweight: int, chunk, quantized_blur: bool):
@@ -229,24 +260,10 @@ def _build_fused_predict_body(backbone, rgb_key, mods, gt_size, metric,
             params, images=dev.get(rgb_key),
             organized_pc=dev.get("organized_pc"),
             compact_pts=dev.get("points_compact"))
-        ss, ms = [], []
-        for (key, lam_s, lam_m), (bank, mean, std, n_valid, nn_table) in zip(
-                mods, bank_args):
-            patches = out[key]
-            side = int(np.sqrt(patches.shape[1]))
-
-            def one(p, bank=bank, mean=mean, std=std, n_valid=n_valid,
-                    nn_table=nn_table, side=side):
-                return patchcore_score(
-                    (p - mean) / std, bank, (side, side), out_size=gt_size,
-                    metric=metric, n_reweight=n_reweight, chunk=chunk,
-                    n_valid=n_valid, quantized_blur=quantized_blur,
-                    nn_table=nn_table)
-
-            s, m = jax.vmap(one)(patches)
-            ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
-            ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
-        return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)  # (B,k),(B,k,g,g)
+        return _lam_weighted_scores(
+            ((out[key], lam_s, lam_m, ba)
+             for (key, lam_s, lam_m), ba in zip(mods, bank_args)),
+            gt_size, metric, n_reweight, chunk, quantized_blur)
 
     def fn(params, dev, bank_args, wd, ws):
         s_vec, maps = scores(params, dev, bank_args)
@@ -271,23 +288,11 @@ def _fused_scores_fn(lam, gt_size: int, metric: str, n_reweight: int,
     """
     @jax.jit
     def fn(patch_list, bank_args):
-        ss, ms = [], []
-        for patches, (lam_s, lam_m), (bank, mean, std, n_valid, nn_table) \
-                in zip(patch_list, lam, bank_args):
-            side = int(np.sqrt(patches.shape[1]))
-
-            def one(p, bank=bank, mean=mean, std=std, n_valid=n_valid,
-                    nn_table=nn_table, side=side):
-                return patchcore_score(
-                    (p - mean) / std, bank, (side, side), out_size=gt_size,
-                    metric=metric, n_reweight=n_reweight, chunk=chunk,
-                    n_valid=n_valid, quantized_blur=quantized_blur,
-                    nn_table=nn_table)
-
-            s, m = jax.vmap(one)(patches)
-            ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
-            ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
-        return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
+        return _lam_weighted_scores(
+            ((patches, lam_s, lam_m, ba)
+             for patches, (lam_s, lam_m), ba
+             in zip(patch_list, lam, bank_args)),
+            gt_size, metric, n_reweight, chunk, quantized_blur)
     return fn
 
 
@@ -354,24 +359,10 @@ def _build_fused_mtfi_predict_body(backbone, fusion, flavor, main_modality,
             out_type = "xyz" if main_modality == "rgb" else "rgb"
             hall = fusion.apply(fusion_vars, feat, out_type,
                                 method="generate")
-        ss, ms = [], []
-        for patches, lam_s, lam_m, (bank, mean, std, n_valid, nn_table) in (
-                (out[main_key], lam_s_m, lam_m_m, bank_args[0]),
-                (hall, lam_s_f, lam_m_f, bank_args[1])):
-            side = int(np.sqrt(patches.shape[1]))
-
-            def one(p, bank=bank, mean=mean, std=std, n_valid=n_valid,
-                    nn_table=nn_table, side=side):
-                return patchcore_score(
-                    (p - mean) / std, bank, (side, side), out_size=gt_size,
-                    metric=metric, n_reweight=n_reweight, chunk=chunk,
-                    n_valid=n_valid, quantized_blur=quantized_blur,
-                    nn_table=nn_table)
-
-            s, m = jax.vmap(one)(patches)
-            ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
-            ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
-        return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
+        return _lam_weighted_scores(
+            ((out[main_key], lam_s_m, lam_m_m, bank_args[0]),
+             (hall, lam_s_f, lam_m_f, bank_args[1])),
+            gt_size, metric, n_reweight, chunk, quantized_blur)
 
     def fn(params, dev, fusion_vars, bank_args, wd, ws):
         s_vec, maps = scores(params, dev, fusion_vars, bank_args)
@@ -618,6 +609,36 @@ class MemoryBankMethod:
                 return v.shape[0] == batch["_n"]
         return False
 
+    def _fused_single_device_ready(self) -> bool:
+        """ONE gate for every single-device fused program: cfg.fused_eval,
+        no data-parallel eval mesh, and no row-sharded bank (DP meshes and
+        sharded banks keep the staged path — their collectives live inside
+        the scoring stage).  Shared by BatchedScoresMixin and the MTFI
+        methods so an added exclusion can't silently diverge between them."""
+        return (self.cfg.fused_eval
+                and self._dp_eval_mesh() is None
+                and not (self.cfg.shard_bank and len(jax.devices()) > 1))
+
+    def _bank_args_for(self, names) -> tuple:
+        """Per-bank (bank, mean, std, n_valid, nn_table) tuples for the fused
+        programs, CACHED per bank-name tuple: the stats/sizes are fixed after
+        fit, and rebuilding the jnp scalars every predict batch would issue
+        3 fresh host->device transfers per bank per batch — each an RPC
+        behind the remote relay, defeating the fused path's one-dispatch
+        point.  Invalidated wherever banks change (_finalize_banks,
+        load_state) — same lifecycle as the _fuser_w cache."""
+        names = tuple(names)
+        cache = getattr(self, "_bank_args_cache", None)
+        if cache is None:
+            cache = self._bank_args_cache = {}
+        if names not in cache:
+            cache[names] = tuple(
+                (self.banks[bn], jnp.float32(self.stats[bn][0]),
+                 jnp.float32(self.stats[bn][1]),
+                 jnp.int32(self.bank_sizes[bn]), self.nn_tables.get(bn))
+                for bn in names)
+        return cache[names]
+
     def _dp_fused_mesh(self, batch):
         """Mesh for the ONE-dispatch fused DP predict (shard_map around the
         whole chain), or None.  Gate: cfg.fused_eval, a data-parallel eval
@@ -737,6 +758,7 @@ class MemoryBankMethod:
                 del cat[n]  # free the raw concat as soon as it's placed
         self._bank_acc = {n: [] for n in self.bank_names}
         self._stats_acc = {}
+        self._bank_args_cache = {}  # device-scalar tuples rebuilt lazily
 
     def _replicate_small(self, arr: jnp.ndarray) -> jnp.ndarray:
         """Replicate a small per-bank array across the active mesh (the NN
@@ -1019,7 +1041,15 @@ class MemoryBankMethod:
                 "fingerprint": self.state_fingerprint()}
         arrs["meta_json"] = np.frombuffer(
             json.dumps(meta).encode(), np.uint8).copy()
-        np.savez_compressed(path, **arrs)
+        # tmp + atomic rename: a run killed mid-save (timeout, Ctrl-C) must
+        # never leave a truncated npz at the final path — runner.fit treats
+        # an unreadable cache as refit-and-overwrite, but a half-written
+        # file should not exist even transiently
+        import os
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # handle, not name: savez would append
+            np.savez_compressed(f, **arrs)  # '.npz' to a bare tmp path
+        os.replace(tmp, path)
 
     def state_fingerprint(self) -> dict:
         """JSON-safe snapshot of every config field the fitted state depends
@@ -1063,6 +1093,7 @@ class MemoryBankMethod:
         self.detect_fuser.load_weights(z["detect_coef"], z["detect_offset"])
         self.seg_fuser.load_weights(z["seg_coef"], z["seg_offset"])
         self._fuser_w = None  # device copies refreshed lazily
+        self._bank_args_cache = {}
 
     def reset_predictions(self):
         """Clear accumulated predictions (e.g. to re-run an eval pass)."""

@@ -52,12 +52,8 @@ class BatchedScoresMixin:
 
     def _fused_eval_ready(self) -> bool:
         """The single-dispatch fused eval program applies on the plain
-        single-device path; DP meshes and row-sharded banks keep the staged
-        path (their collectives live inside the scoring stage)."""
-        import jax as _jax
-        return (self.cfg.fused_eval
-                and self._dp_eval_mesh() is None
-                and not (self.cfg.shard_bank and len(_jax.devices()) > 1))
+        single-device path (one shared gate, methods.base)."""
+        return self._fused_single_device_ready()
 
     def _fused_fn(self):
         """(predict program, modalities) from the module-level cache."""
@@ -99,11 +95,9 @@ class BatchedScoresMixin:
         return fn(tuple(patch_list), self._fused_bank_args(mods))
 
     def _fused_bank_args(self, mods):
-        return tuple(
-            (self.banks[bn], jnp.float32(self.stats[bn][0]),
-             jnp.float32(self.stats[bn][1]),
-             jnp.int32(self.bank_sizes[bn]), self.nn_tables.get(bn))
-            for bn, _, _, _ in mods)
+        # cached per bank-name tuple (methods.base): fixed after fit, and
+        # fresh per-batch device scalars would be 3 transfer RPCs per bank
+        return self._bank_args_for(bn for bn, _, _, _ in mods)
 
     def add_batch_to_mem_bank(self, batch, class_name=None):
         self.class_name = class_name
@@ -596,11 +590,9 @@ class HallucinationMethod(MemoryBankMethod):
     # ---- fused single-dispatch eval (mirrors BatchedScoresMixin) -----------
     def _fused_scores_ready(self) -> bool:
         """Scoring-stage fusion (dual scoring + λ-stack as one program)
-        applies to every flavor on the single-device path, FtoI included."""
-        import jax as _jax
-        c = self.cfg
-        return (c.fused_eval and self._dp_eval_mesh() is None
-                and not (c.shard_bank and len(_jax.devices()) > 1))
+        applies to every flavor on the single-device path, FtoI included
+        (one shared gate, methods.base)."""
+        return self._fused_single_device_ready()
 
     def _fused_eval_ready(self) -> bool:
         """FtoF/ItoF hallucination is pure device math, so the whole chain
@@ -673,10 +665,7 @@ class HallucinationMethod(MemoryBankMethod):
         return self._device_batch(sub)
 
     def _fused_bank_args(self, main: str):
-        return tuple(
-            (self.banks[bn], jnp.float32(self.stats[bn][0]),
-             jnp.float32(self.stats[bn][1]), jnp.int32(self.bank_sizes[bn]),
-             self.nn_tables.get(bn)) for bn in (main, "fusion"))
+        return self._bank_args_for((main, "fusion"))
 
     def add_batch_to_late_fusion_mem_bank(self, batch):
         # extraction + hallucination programs + ONE scoring/λ-stack program

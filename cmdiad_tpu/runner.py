@@ -96,6 +96,14 @@ class CMDIADRunner:
                 return
             except StateFingerprintMismatch as e:
                 log.warning("class %s: %s", class_name, e)
+            except Exception as e:
+                # an unreadable cache (truncated npz from a killed run,
+                # missing array, zip corruption) must trigger the refit
+                # path, never a permanent crash on every subsequent run —
+                # the fresh fit below overwrites it atomically
+                log.warning("class %s: unreadable fitted-state cache %s "
+                            "(%s: %s); refitting", class_name, cache,
+                            type(e).__name__, e)
         split = self._train_split()
         bs = max(self.cfg.batch_size, 1)
         t0 = time.perf_counter()

@@ -143,6 +143,33 @@ def test_prefingerprint_cache_rejected(dataset_root, backbone, tmp_path):
     assert "bank_pass_s" in r2.timings          # refit
 
 
+def test_corrupt_cache_triggers_refit(dataset_root, backbone, tmp_path):
+    """A truncated/corrupt cache npz (e.g. a run killed mid-save before the
+    atomic tmp+rename existed, or disk corruption) must trigger the refit
+    path — never a permanent crash on every subsequent run.  The refit then
+    overwrites it with a readable one."""
+    cache_dir = str(tmp_path / "banks")
+    params = backbone.init_params(0)
+    r1 = CMDIADRunner(_cfg(dataset_root, cache_dir), backbone=backbone,
+                      params=params)
+    r1.fit("widget")
+    path = tmp_path / "banks" / "widget.npz"
+
+    blob = path.read_bytes()
+    path.write_bytes(blob[: len(blob) // 2])    # truncated zip
+
+    r2 = CMDIADRunner(_cfg(dataset_root, cache_dir), backbone=backbone,
+                      params=params)
+    r2.fit("widget")                            # refit, not a crash
+    assert "bank_pass_s" in r2.timings
+    assert "bank_load_s" not in r2.timings
+
+    r3 = CMDIADRunner(_cfg(dataset_root, cache_dir), backbone=backbone,
+                      params=params)
+    r3.fit("widget")                            # the rewrite is readable
+    assert "bank_load_s" in r3.timings
+
+
 def test_restored_fuser_matches_sklearn_scores(rng):
     from cmdiad_tpu.fusion.ocsvm import SGDOneClassSVM
     train = np.abs(rng.normal(1.0, 0.3, size=(100, 2)))
