@@ -20,11 +20,19 @@ from cmdiad_tpu.ops.masked import BIG_DIST
 
 
 def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Squared euclidean distances  (..., N, C) x (..., M, C) -> (..., N, M)."""
+    """Squared euclidean distances  (..., N, C) x (..., M, C) -> (..., N, M).
+
+    Clamped to >= 0: the dot-product identity cancels catastrophically for
+    (near-)coincident pairs — and every FPS group center IS one of the
+    input points — so d can come out ~-1e-7, which flips downstream
+    1/(d+eps) IDW weights to huge NEGATIVE values (non-convex combinations
+    that blew interpolated features up 300x; measured, see
+    ops/pallas_interp.py).  The reference's pointnet2 three_nn computes
+    per-coordinate differences and is non-negative by construction."""
     a2 = jnp.sum(a * a, axis=-1)[..., :, None]
     b2 = jnp.sum(b * b, axis=-1)[..., None, :]
     ab = jnp.einsum("...nc,...mc->...nm", a, b, preferred_element_type=jnp.float32)
-    return a2 + b2 - 2.0 * ab
+    return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "method"))

@@ -41,7 +41,13 @@ def _kernel(compute_dtype, ptsT_ref, pnorm_ref, c8_ref, cnorm_ref,
     # feats (1, G, D), mask (1, 1, T), out (1, T, D)
     prod = jnp.dot(c8_ref[0], ptsT_ref[0],
                    preferred_element_type=jnp.float32)          # (G, T)
-    d = cnorm_ref[0] + pnorm_ref[0] - 2.0 * prod                # (G, T)
+    # clamp >= 0: the dot-product identity cancels to ~-1e-7 for coincident
+    # pairs (group centers ARE input points), and a negative d flips the
+    # 1/(d+1e-8) IDW weight to a huge NEGATIVE value — a non-convex
+    # combination that blew interpolated features up to 300x the center
+    # norms (measured on the production fixture; ops/knn.pairwise_sqdist
+    # carries the same clamp for the jnp path)
+    d = jnp.maximum(cnorm_ref[0] + pnorm_ref[0] - 2.0 * prod, 0.0)  # (G, T)
     row = lax.broadcasted_iota(jnp.int32, d.shape, 0)
 
     dd = d

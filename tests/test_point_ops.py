@@ -166,6 +166,37 @@ def test_three_nn_interpolate_pallas_matches_jnp(rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
+def test_interpolate_convex_at_coincident_points(rng):
+    """Regression: a query point COINCIDENT with a center (every FPS center
+    is an input point) plus near-coincident other centers used to blow the
+    interpolated feature up ~300x — the (a²+b²-2ab) distance identity
+    cancels to ~-1e-7, flipping the 1/(d+1e-8) IDW weight to a huge
+    negative value (a non-convex combination).  pointnet2's per-coordinate
+    three_nn is non-negative by construction; after the clamp the IDW
+    output must stay inside the convex hull of the center features."""
+    import jax.numpy as jnp
+    from cmdiad_tpu.ops.pallas_interp import three_nn_interpolate_pallas
+    b, p, g, d = 1, 256, 128, 128
+    # clustered centers at a large offset: |a|²≈|b|²≈190 while the true
+    # distances are ~1e-8 — the cancellation regime
+    base = np.float32([7.9, 7.9, 7.9])
+    centers = (base + rng.normal(size=(b, g, 3)).astype(np.float32) * 1e-4)
+    feats = rng.normal(size=(b, g, d)).astype(np.float32)
+    pts = np.tile(centers[:, :1], (1, p, 1))        # every query == center 0
+    pts += rng.normal(size=pts.shape).astype(np.float32) * 1e-5
+    mask = np.ones((b, p), bool)
+
+    hull = np.abs(feats).max() * (1 + 1e-3)
+    out_j = np.asarray(interpolate.three_nn_interpolate(
+        jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+        jnp.asarray(feats), use_pallas=False))
+    assert np.abs(out_j).max() <= hull, np.abs(out_j).max()
+    out_k = np.asarray(three_nn_interpolate_pallas(
+        jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(centers),
+        jnp.asarray(feats)))
+    assert np.abs(out_k).max() <= hull, np.abs(out_k).max()
+
+
 def test_compact_points_preserves_fps_knn(rng):
     """Compaction must leave FPS selections and KNN sets exactly unchanged."""
     import jax.numpy as jnp
