@@ -99,6 +99,14 @@ class Config:
     ocsvm_nu: float = 0.5
     ocsvm_maxiter: int = 1000
     ocsvm_backend: str = "sklearn"  # 'sklearn' (bit-parity) | 'jax'
+    # cap on the pixel rows the SEG fuser is fit on (deterministic stride
+    # over the n_train·gt² λ-weighted map rows, selected on device so only
+    # the kept rows cross D2H).  The full set at production scale is ~10M
+    # rows and sklearn's SGD fit on it measures ~65 s of host time per
+    # class — for a 2-feature linear direction that a 1–2M-row stride
+    # reproduces to ~1e-3 (and AUROC is scale-invariant in x·coef).
+    # None = fit on every row (exact reference behaviour).
+    ocsvm_seg_max_rows: Optional[int] = 2_000_000
 
     # --- feature dumping for MTFI distillation training ----------------------
     save_feature_for_fusion: bool = False

@@ -65,7 +65,7 @@ _FINGERPRINT_FIELDS = (
     "quantized_blur",
     "xyz_s_lambda", "xyz_smap_lambda", "rgb_s_lambda", "rgb_smap_lambda",
     "fusion_s_lambda", "fusion_smap_lambda",
-    "ocsvm_nu", "ocsvm_maxiter", "ocsvm_backend",
+    "ocsvm_nu", "ocsvm_maxiter", "ocsvm_backend", "ocsvm_seg_max_rows",
     "compute_dtype", "use_pallas", "use_flash", "seed",
 )
 
@@ -189,6 +189,21 @@ def _lam_weighted_scores(entries, gt_size, metric, n_reweight, chunk,
         ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
         ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
     return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _strided_map_rows_fn(n: int, stride: int, shape):
+    """ONE jitted program per (n, stride, shape): (B, k, gt, gt) map entry
+    -> every ``stride``-th sample-major (row-raster) pixel row of the first
+    ``n`` samples, as (r, k).  Device-side so only the kept seg-calibration
+    rows are fetched over the relay (cfg.ocsvm_seg_max_rows)."""
+    del shape  # cache key only: a new shape must not reuse a stale program
+
+    @jax.jit
+    def fn(mp):
+        rows = mp[:n].transpose(0, 2, 3, 1).reshape(-1, mp.shape[1])
+        return rows[::stride]
+    return fn
 
 
 @functools.lru_cache(maxsize=None)
@@ -928,13 +943,37 @@ class MemoryBankMethod:
         return _weight_stack_fn(lam_s, lam_m)(tuple(s_list), tuple(m_list))
 
     def run_late_fusion(self):
-        s_rows, m_rows = [], []
-        for (sv, n), mp in zip(self.s_lib, jax.device_get(self.s_map_lib)):
+        # seg-fuser row budget: at production scale the λ-weighted map rows
+        # number n_train·gt² (~10M) and sklearn's SGD fit on them measures
+        # ~65 s of host time per class; a deterministic per-entry stride
+        # reproduces the 2-feature direction to ~1e-3 at a fraction of the
+        # rows — selected ON DEVICE so only the kept rows cross the relay's
+        # 21 MB/s D2H path.  cfg.ocsvm_seg_max_rows=None restores the exact
+        # full-row reference behaviour.
+        cap = getattr(self.cfg, "ocsvm_seg_max_rows", None)
+        total = sum(
+            mp.shape[0] if getattr(mp, "ndim", 2) == 2
+            else n * mp.shape[2] * mp.shape[3]
+            for (_, n), mp in zip(self.s_lib, self.s_map_lib))
+        stride = max(1, -(-total // cap)) if cap else 1
+
+        s_rows, m_sel = [], []
+        for (sv, n), mp in zip(self.s_lib, self.s_map_lib):
             sv = np.asarray(jax.device_get(sv), np.float64)[:n]
-            mp = np.asarray(mp, np.float64)
             s_rows.append(sv.reshape(-1, sv.shape[-1]))
-            # per-sample entries arrive pre-flattened (gt², k); batched
-            # device entries are (B, k, gt, gt) -> sample-major (n·gt², k)
+            if getattr(mp, "ndim", 2) == 2:
+                # per-sample entries arrive pre-flattened (gt², k)
+                m_sel.append(np.asarray(mp)[::stride])
+            elif stride == 1:
+                m_sel.append(mp)  # fetched whole below
+            else:
+                m_sel.append(_strided_map_rows_fn(
+                    int(n), int(stride), mp.shape)(mp))
+        m_rows = []
+        for mp, (_, n) in zip(jax.device_get(m_sel), self.s_lib):
+            mp = np.asarray(mp, np.float64)
+            # unstrided batched device entries are (B, k, gt, gt) ->
+            # sample-major (n·gt², k); strided ones arrive already (r, k)
             m_rows.append(mp if mp.ndim == 2
                           else mp[:n].transpose(0, 2, 3, 1)
                                      .reshape(-1, mp.shape[1]))

@@ -67,6 +67,28 @@ def test_plain_methods_e2e(dataset_root, method):
     assert metrics["pixel_rocauc"] > 0.5, metrics
 
 
+def test_seg_fuser_row_cap_matches_full_fit(dataset_root):
+    """cfg.ocsvm_seg_max_rows (fit-time lever: the production seg-fuser fit
+    over all n_train·gt² map rows costs ~65 s of host sklearn time; a
+    deterministic stride reproduces the 2-feature direction) must leave the
+    metrics essentially unchanged and stay deterministic."""
+    full = _run(_cfg(method_name="DINO+Point_MAE",
+                     ocsvm_seg_max_rows=None), dataset_root)
+    # 5 train imgs x 64² = 20480 rows; cap at 2048 -> stride 10
+    capped = _run(_cfg(method_name="DINO+Point_MAE",
+                       ocsvm_seg_max_rows=2048), dataset_root)
+    capped2 = _run(_cfg(method_name="DINO+Point_MAE",
+                        ocsvm_seg_max_rows=2048), dataset_root)
+    assert capped == capped2                       # deterministic stride
+    # the seg fuser only scales/rotates the 2-d score direction a little:
+    # ranking metrics move at most marginally (scale alone cannot move them)
+    assert abs(capped["pixel_rocauc"] - full["pixel_rocauc"]) < 0.02, (
+        full, capped)
+    assert abs(capped["au_pro"] - full["au_pro"]) < 0.03, (full, capped)
+    # detect fuser rows (per-image s vectors) are untouched by the cap
+    assert capped["image_rocauc"] == full["image_rocauc"], (full, capped)
+
+
 def _mtfi_ftof_run(dataset_root, **cfg_kw):
     """FtoF MLP MTFI run with a fusion net sized for the small backbone
     (FtoF MLP expects 768-dim features; small backbone is 32-dim)."""
