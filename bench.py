@@ -22,6 +22,9 @@ Workload (overridable via env):
                       test_bf16_end_metrics_close_to_fp32).
   CMDIAD_BENCH_CHAIN  data-dependency-chained pipeline iterations per timed
                       call, default 8.
+  CMDIAD_BENCH_METRIC scoring distance, default 'l2'; 'l2_int8' runs the
+                      int8-quantised bank-min kernel (cfg.dist_method_s
+                      equivalent — ops/scoring.py routing).
 
 Timing methodology: the remote-tunnel backend's block_until_ready does not
 reliably wait and each dispatch pays ~60 ms relay RPC, so CHAIN iterations
@@ -67,7 +70,8 @@ def _enable_compilation_cache() -> None:
 def measure(bank_rows: int = 65536, batch: int = 8,
             dtype: str = "bfloat16", chain: int = 8,
             repeats: int = 2, seed: int = 0,
-            use_flash: bool | None = None) -> dict:
+            use_flash: bool | None = None,
+            metric: str = "l2") -> dict:
     """Run the flagship pipeline benchmark; returns a result dict.
 
     Reused by benchmarks/bench_grid.py for the full workload sweep.
@@ -117,9 +121,9 @@ def measure(bank_rows: int = 65536, batch: int = 8,
 
         def score_one(rp, xp):
             s_r, m_r = patchcore_score(rp, rgb_bank, (grid, grid),
-                                       nn_table=rgb_table)
+                                       metric=metric, nn_table=rgb_table)
             s_x, m_x = patchcore_score(xp, xyz_bank, (56, 56),
-                                       nn_table=xyz_table)
+                                       metric=metric, nn_table=xyz_table)
             # fold the full segmentation maps into the scalar so the
             # bilinear+blur stages stay live (production consumes them)
             return 0.1 * s_r + s_x + 1e-9 * (jnp.sum(m_r) + jnp.sum(m_x))
@@ -170,7 +174,7 @@ def measure(bank_rows: int = 65536, batch: int = 8,
             if jax.default_backend() == "tpu":
                 from cmdiad_tpu.ops.scoring import use_scoring_kernel
                 for nq, rows in ((56 * 56, xyz_rows), (grid * grid, rgb_rows)):
-                    if use_scoring_kernel(rows, "l2"):  # the kernel's gate
+                    if use_scoring_kernel(rows, metric):  # the kernel's gate
                         nq_pad = -(-nq // 128) * 128
                         flops_per_img += 2.0 * nq_pad * rows * 768
                 if use_flash:
@@ -286,11 +290,14 @@ def main():
     batch = int(os.environ.get("CMDIAD_BENCH_BATCH", "8"))
     dtype = os.environ.get("CMDIAD_BENCH_DTYPE", "bfloat16")
     chain = int(os.environ.get("CMDIAD_BENCH_CHAIN", "8"))
+    # 'l2' (default) or 'l2_int8' (int8-quantised scoring kernel)
+    metric = os.environ.get("CMDIAD_BENCH_METRIC", "l2")
 
     _wait_for_backend(
         total_s=float(os.environ.get("CMDIAD_BENCH_RETRY_S", "900")))
     _backend_watchdog()
-    res = measure(bank_rows=bank, batch=batch, dtype=dtype, chain=chain)
+    res = measure(bank_rows=bank, batch=batch, dtype=dtype, chain=chain,
+                  metric=metric)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")

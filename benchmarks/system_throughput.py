@@ -130,12 +130,21 @@ def main():
         return
 
     def hbm_peak_gb():
-        """Device peak memory (GB) — justifies cache_train_features'
-        default by showing the fit-time HBM headroom it costs."""
+        """Device memory (GB) — justifies cache_train_features' default by
+        showing the fit-time HBM residency it costs.  The axon backend's
+        memory_stats() returns None (probed 2026-08-19), so fall back to
+        summing live device buffers: a residency snapshot, not a true peak,
+        but the fit-time cost of the feature cache IS resident arrays."""
         try:
             stats = jax.local_devices()[0].memory_stats() or {}
             peak = stats.get("peak_bytes_in_use")
-            return round(peak / 2**30, 2) if peak else None
+            if peak:
+                return round(peak / 2**30, 2)
+        except Exception:
+            pass
+        try:
+            live = sum(x.nbytes for x in jax.live_arrays())
+            return round(live / 2**30, 2)
         except Exception:
             return None
 

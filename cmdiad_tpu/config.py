@@ -77,7 +77,13 @@ class Config:
     f_coreset: float = 0.1
     coreset_eps: float = 0.9
     coreset_dtype: str = "FP16"  # 'FP16' | 'TF32' | 'FP32' (compute dtype of greedy loop)
-    dist_method_s: str = "l2"          # 'l2' | 'l1' | 'cos_dist'
+    # 'l2' | 'l1' | 'cos_dist' (the reference's three options,
+    # features.py:186-205) | 'l2_int8': l2 with the streaming bank-min
+    # kernel's -2·q·bᵀ cross term quantised to int8 per row (s8 MXU peak is
+    # 2x bf16 on v5e; the |q|²/|b|² terms and every dense/jnp path stay
+    # exact f32).  Approximation envelope measured at ~0.1% relative on the
+    # min-distance — inside the bf16 kernel's accepted ~0.4%.
+    dist_method_s: str = "l2"
     dist_method_coreset: str = "l2"
     random_state: Optional[int] = None  # SRP seed; None -> 0 (reference is nondeterministic here)
     n_reweight: int = 3
@@ -175,7 +181,7 @@ class Config:
                 raise ValueError(
                     "WithHallucinationFromFeature needs use_hn_from_rgb_mlp "
                     "or use_hn_from_rgb_conv (feature-to-input nets)")
-        if self.dist_method_s not in ("l2", "l1", "cos_dist"):
+        if self.dist_method_s not in ("l2", "l1", "cos_dist", "l2_int8"):
             raise ValueError(f"bad dist_method_s {self.dist_method_s!r}")
         if len(self.mesh_shape) > 1:
             # detection meshes are data-parallel only: every consumer builds

@@ -15,6 +15,12 @@ running update is a strict '<'.
 This is the "fused cdist+top-k" kernel called for by the project north star
 (BASELINE.json); the k=1(+argmin) case is what scoring needs — the eq.7
 reweight's k=3 runs on one bank row downstream and stays in jnp.
+
+``compute_dtype='int8'`` (cfg.dist_method_s='l2_int8') quantises both
+operands per row to int8 and runs the cross term as s8 x s8 -> s32 — the
+v5e MXU's int8 peak is 2x bf16 and this kernel is compute-bound above ~32k
+rows.  Norm terms stay exact f32; measured min-distance envelope ~0.1%
+relative (tests/test_blur_scoring.py::test_pallas_min_dist_int8_envelope).
 """
 
 from __future__ import annotations
@@ -26,6 +32,51 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _quantize_rows(x: jnp.ndarray):
+    """Symmetric per-row int8 quantisation: (N, D) f32 -> (int8, (N, 1) f32
+    scale).  Row-wise scales keep the quantisation error of the -2·q·bᵀ
+    cross term relative to each row's own magnitude; the |q|²/|b|² norm
+    terms stay exact f32 (computed from the unquantised rows), so the only
+    approximation in d² is the cross term — same structure as the bf16
+    kernel, with int8's ~0.4%/element rounding in place of bf16's."""
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _kernel_int8(nq, tile, patch_ref, pnorm_ref, pscale_ref, bank_ref,
+                 bnorm_ref, bscale_ref, minv_ref, mini_ref, run_v, run_i):
+    """int8 variant: s8 x s8 -> s32 on the MXU (2x the bf16 peak on v5e),
+    dequantised by the per-row scale outer product on the VPU."""
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        run_v[0, :] = jnp.full((nq,), 3.4e38, jnp.float32)
+        run_i[0, :] = jnp.zeros((nq,), jnp.int32)
+
+    prod = jnp.dot(bank_ref[:, :], patch_ref[:, :],
+                   precision=jax.lax.Precision.DEFAULT,
+                   preferred_element_type=jnp.int32)            # (TILE, Nq)
+    prod_f = prod.astype(jnp.float32) * (bscale_ref[:, :]
+                                         * pscale_ref[:, :])    # dequantise
+    d2 = bnorm_ref[:, :] - 2.0 * prod_f
+    tile_min = jnp.min(d2, axis=0)
+    tile_arg = jnp.argmin(d2, axis=0).astype(jnp.int32) + i * tile
+
+    prev_v = run_v[0, :]
+    take = tile_min < prev_v
+    run_v[0, :] = jnp.where(take, tile_min, prev_v)
+    run_i[0, :] = jnp.where(take, tile_arg, run_i[0, :])
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        minv_ref[0, :] = run_v[0, :] + pnorm_ref[0, :]
+        mini_ref[0, :] = run_i[0, :]
 
 
 def _kernel(nq, tile, patch_ref, pnorm_ref, bank_ref, bnorm_ref,
@@ -76,13 +127,17 @@ def bank_min_dist_pallas(patch: jnp.ndarray, bank: jnp.ndarray,
     nq_orig, d = patch.shape
     nb = bank.shape[0]
     assert nb % tile == 0, (nb, tile)
-    cdt = jnp.dtype(compute_dtype)
 
     nq = -(-nq_orig // 128) * 128
     patch_p = jnp.pad(patch.astype(jnp.float32), ((0, nq - nq_orig), (0, 0)))
     pnorm = jnp.sum(patch_p * patch_p, axis=1)[None, :]       # (1, Nq) f32
     bnorm = jnp.sum(bank.astype(jnp.float32) * bank.astype(jnp.float32),
                     axis=1)[:, None]                          # (Nb, 1) f32
+
+    if compute_dtype == "int8":
+        return _bank_min_dist_int8(patch_p, pnorm, bank, bnorm,
+                                   nq_orig, nq, tile)
+    cdt = jnp.dtype(compute_dtype)
 
     minv, mini = pl.pallas_call(
         functools.partial(_kernel, nq, tile),
@@ -117,6 +172,56 @@ def bank_min_dist_pallas(patch: jnp.ndarray, bank: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(patch_p.T.astype(cdt), pnorm, bank.astype(cdt), bnorm)
+
+    min_val = jnp.sqrt(jnp.maximum(minv[0, :nq_orig], 0.0))
+    return min_val, mini[0, :nq_orig]
+
+
+def _bank_min_dist_int8(patch_p, pnorm, bank, bnorm, nq_orig, nq, tile):
+    """int8 scoring pass (cfg.score_int8): quantise both operands per row on
+    device (one extra bank stream per dispatch — ~0.15 ms at 65k rows,
+    amortised over the batch since XLA hoists the bank quantisation out of
+    the vmap) and run the s8 x s8 -> s32 kernel.  v5e int8 MXU peak is 2x
+    bf16, and the production kernel is compute-bound above ~32k rows
+    (CLAUDE.md: bank streaming is ~0.12 ms vs ~1.6 ms of bf16 matmul at the
+    65k flagship bank), so the cross-term dot — the kernel's entire cost —
+    halves.  The |q|²/|b|² terms stay exact f32."""
+    pq, pscale = _quantize_rows(patch_p)                      # (Nq, D) s8
+    bq, bscale = _quantize_rows(bank.astype(jnp.float32))     # (Nb, D) s8
+
+    minv, mini = pl.pallas_call(
+        functools.partial(_kernel_int8, nq, tile),
+        grid=(bank.shape[0] // tile,),
+        in_specs=[
+            pl.BlockSpec((patch_p.shape[1], nq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # patch.T s8
+            pl.BlockSpec((1, nq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # |q|^2
+            pl.BlockSpec((1, nq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # q row scales
+            pl.BlockSpec((tile, patch_p.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # bank tile s8
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # |b|^2 tile
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # b row scales
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, nq), jnp.float32),
+            jax.ShapeDtypeStruct((1, nq), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, nq), jnp.float32),
+            pltpu.VMEM((1, nq), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(pq.T, pnorm, pscale.T, bq, bnorm, bscale)
 
     min_val = jnp.sqrt(jnp.maximum(minv[0, :nq_orig], 0.0))
     return min_val, mini[0, :nq_orig]

@@ -38,10 +38,16 @@ def cdist(a: jnp.ndarray, b: jnp.ndarray, metric: str = "l2") -> jnp.ndarray:
 
     metric: 'l2' (euclidean, torch.cdist), 'l1' (cityblock),
     'cos_dist' (1 - cosine similarity) — the reference's three
-    ``dist_method_s`` options (features.py:186-205).
+    ``dist_method_s`` options (features.py:186-205).  'l2_int8' selects the
+    int8-quantised streaming kernel where the kernel runs
+    (``use_scoring_kernel``); every dense/jnp path — including this one —
+    computes it as exact-f32 l2 (the quantisation applies only to the
+    Mosaic kernel's -2·q·bᵀ cross term).
     """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
+    if metric == "l2_int8":
+        metric = "l2"
     if metric == "l2":
         a2 = jnp.sum(a * a, -1)[:, None]
         b2 = jnp.sum(b * b, -1)[None, :]
@@ -171,8 +177,9 @@ def use_scoring_kernel(rows: int, metric: str) -> bool:
     with 1024-aligned rows above the measured ~32k-row jnp/kernel crossover.
     Single source of truth — patchcore_score, the shard_map'd sharded-bank
     path (parallel/eval) and bench.py's custom-call FLOPs correction all
-    consult this one predicate."""
-    return (metric == "l2" and jax.default_backend() == "tpu"
+    consult this one predicate.  'l2_int8' is l2 with the kernel's cross
+    term quantised to int8 (2x MXU peak on v5e) — same routing."""
+    return (metric in ("l2", "l2_int8") and jax.default_backend() == "tpu"
             and rows % 1024 == 0 and rows >= 32768)
 
 
@@ -220,7 +227,9 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
         # the argmin is free here — and saves re-deriving the top patch's
         # nearest bank row below with a full-bank matvec (a whole extra
         # 200 MB bank stream per sample at 65k rows)
-        min_val, min_idx = bank_min_dist_pallas(patch, bank)
+        min_val, min_idx = bank_min_dist_pallas(
+            patch, bank,
+            compute_dtype="int8" if metric == "l2_int8" else "bfloat16")
     else:
         min_val, min_idx = bank_min_dist(patch, bank, metric, chunk,
                                          with_argmin=False, n_valid=n_valid)

@@ -81,7 +81,10 @@ def _sharded_min_fn(mesh: Mesh, batched: bool, metric: str, use_kernel: bool):
         def one(p):
             if use_kernel:
                 from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
-                return bank_min_dist_pallas(p, bank_local)
+                return bank_min_dist_pallas(
+                    p, bank_local,
+                    compute_dtype="int8" if metric == "l2_int8"
+                    else "bfloat16")
             d = cdist(p, bank_local, metric)
             return jnp.min(d, axis=1), jnp.argmin(d, axis=1).astype(jnp.int32)
 

@@ -161,6 +161,40 @@ def test_pallas_min_dist_matches_jnp(rng):
     np.testing.assert_array_equal(np.asarray(mi), d.argmin(1))
 
 
+def test_pallas_min_dist_int8_envelope(rng):
+    """int8-quantised kernel (interpret mode off-TPU) vs the exact f64
+    oracle: the per-row symmetric quantisation of the -2·q·bᵀ cross term
+    must keep min distances within ~0.5% relative (measured ~0.1%), and any
+    argmin disagreement must pick a row whose TRUE distance is within that
+    same envelope of the true minimum (a near-tie, not a wrong answer)."""
+    from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
+    patch = rng.normal(size=(300, 64)).astype(np.float32)
+    bank = rng.normal(size=(2048, 64)).astype(np.float32)
+    mv, mi = bank_min_dist_pallas(jnp.asarray(patch), jnp.asarray(bank),
+                                  tile=256, compute_dtype="int8")
+    d = np.linalg.norm(patch[:, None].astype(np.float64)
+                       - bank[None].astype(np.float64), axis=-1)
+    np.testing.assert_allclose(np.asarray(mv), d.min(1), rtol=5e-3)
+    chosen = d[np.arange(300), np.asarray(mi)]
+    np.testing.assert_allclose(chosen, d.min(1), rtol=5e-3)
+
+
+def test_l2_int8_dense_paths_are_exact_l2(rng):
+    """'l2_int8' is a KERNEL mode: cdist and every jnp fallback compute it
+    as exact f32 l2 (routing doc in ops/scoring.cdist)."""
+    a = rng.normal(size=(40, 16)).astype(np.float32)
+    b = rng.normal(size=(60, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(scoring.cdist(jnp.asarray(a), jnp.asarray(b), "l2_int8")),
+        np.asarray(scoring.cdist(jnp.asarray(a), jnp.asarray(b), "l2")))
+    s8, m8 = scoring.patchcore_score(jnp.asarray(a), jnp.asarray(b),
+                                     (5, 8), out_size=32, metric="l2_int8")
+    s2, m2 = scoring.patchcore_score(jnp.asarray(a), jnp.asarray(b),
+                                     (5, 8), out_size=32, metric="l2")
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(m8), np.asarray(m2))
+
+
 def test_bank_min_dist_without_argmin(rng):
     patch = rng.normal(size=(64, 8)).astype(np.float32)
     bank = rng.normal(size=(1000, 8)).astype(np.float32)

@@ -21,13 +21,16 @@ pytestmark = pytest.mark.skipif(
     reason="requires the real TPU chip (set CMDIAD_TEST_ON_TPU=1)")
 
 
-def test_kernel_scoring_matches_exact_path(rng):
-    """The Pallas kernel path of patchcore_score (bf16 -2qb^T product, argmin
-    reused for m_star) vs the exact dense f32 path (chunk=None).
+@pytest.mark.parametrize("metric", ["l2", "l2_int8"])
+def test_kernel_scoring_matches_exact_path(rng, metric):
+    """The Pallas kernel path of patchcore_score (bf16 or int8 -2qb^T
+    product, argmin reused for m_star) vs the exact dense f32 path
+    (chunk=None — exact l2 under both metric spellings).
 
     Bounds the ADVICE-flagged relaxation: near-equidistant bank rows can
     flip the kernel's argmin, but the eq.7 reweighted score and the s_map
-    must stay within the bf16 product's documented ~0.4% envelope.
+    must stay within the quantised product's documented envelope (~0.4%
+    bf16, ~0.1% int8).
     """
     from cmdiad_tpu.ops.scoring import patchcore_score
 
@@ -35,7 +38,7 @@ def test_kernel_scoring_matches_exact_path(rng):
     bank = jnp.asarray(rng.normal(size=(32768, 768)).astype(np.float32))
 
     s_kernel, map_kernel = jax.jit(functools.partial(
-        patchcore_score, feat_hw=(56, 56)))(patch, bank)
+        patchcore_score, feat_hw=(56, 56), metric=metric))(patch, bank)
     s_exact, map_exact = jax.jit(functools.partial(
         patchcore_score, feat_hw=(56, 56), chunk=None))(patch, bank)
 
@@ -121,3 +124,21 @@ def test_shard_map_pallas_scoring_mesh1(rng):
     mv, mi = jax.jit(bank_min_dist_pallas)(patch, bank)
     np.testing.assert_allclose(np.asarray(mv_sm), np.asarray(mv), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(mi_sm), np.asarray(mi))
+
+
+def test_int8_scoring_kernel_on_chip(rng):
+    """The s8 x s8 -> s32 bank-min kernel (dist_method_s='l2_int8')
+    COMPILED on the chip: min distances within 0.5% of the exact f64
+    oracle at a production-shaped tile, argmin disagreements only at
+    near-ties (chosen row's true distance inside the same envelope)."""
+    from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
+
+    patch = jnp.asarray(rng.normal(size=(784, 768)).astype(np.float32))
+    bank = jnp.asarray(rng.normal(size=(32768, 768)).astype(np.float32))
+    mv, mi = jax.jit(functools.partial(
+        bank_min_dist_pallas, compute_dtype="int8"))(patch, bank)
+    d = np.linalg.norm(np.asarray(patch)[:, None].astype(np.float64)
+                       - np.asarray(bank)[None].astype(np.float64), axis=-1)
+    np.testing.assert_allclose(np.asarray(mv), d.min(1), rtol=5e-3)
+    chosen = d[np.arange(784), np.asarray(mi)]
+    np.testing.assert_allclose(chosen, d.min(1), rtol=5e-3)
