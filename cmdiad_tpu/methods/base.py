@@ -286,6 +286,54 @@ def _build_fused_predict_body(backbone, rgb_key, mods, gt_size, metric,
     return fn
 
 
+def _build_fused_shard_bank_body(extract_fn, rgb_key, mods, min_fns,
+                                 gt_size, metric, n_reweight,
+                                 quantized_blur):
+    """Fused whole-chain predict body for ROW-SHARDED banks: extraction ->
+    per-bank shard_map'd (min, argmin) over the local bank shard (Mosaic
+    kernel on TPU, parallel/eval._sharded_min_fn) -> eq.7/upsample/blur tail
+    in GSPMD-land (one-row gathers and matvecs over the sharded bank, which
+    GSPMD partitions shard-local — the proven sharded_score_batch_fn
+    pattern) -> λ-stack -> linear-OCSVM fusion.  ONE jitted dispatch per
+    batch where the staged sharded path costs ~5 (extract, per-bank sharded
+    scoring, stack, fuse).
+
+    ``extract_fn`` is pre-wrapped by the caller (shard_map over 'data' when
+    the batch divides the mesh, replicated shard_map otherwise) so the
+    Mosaic extraction kernels never meet GSPMD's missing custom-call
+    partitioning rules.  ``min_fns``: one shard_map'd min per bank (their
+    kernel routing depends on per-bank LOCAL row counts).
+    """
+    from cmdiad_tpu.ops.scoring import patchcore_finish
+
+    def scores(params, dev, bank_args):
+        out = extract_fn(params, dev)
+        ss, ms = [], []
+        for (key, lam_s, lam_m), (bank, mean, std, n_valid, nn_table), mf \
+                in zip(mods, bank_args, min_fns):
+            patches = out[key]
+            side = int(np.sqrt(patches.shape[1]))
+            normed = (patches - mean) / std
+            mv, mi = mf(normed, bank)
+
+            def one(p, v, i, bank=bank, n_valid=n_valid, nn_table=nn_table,
+                    side=side):
+                return patchcore_finish(
+                    p, bank, v, i, (side, side), out_size=gt_size,
+                    metric=metric, n_reweight=n_reweight, n_valid=n_valid,
+                    quantized_blur=quantized_blur, nn_table=nn_table)
+
+            s, m = jax.vmap(one)(normed, mv, mi)
+            ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
+            ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
+        return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
+
+    def fn(params, dev, bank_args, wd, ws):
+        s_vec, maps = scores(params, dev, bank_args)
+        return s_vec @ wd, jnp.einsum("bkxy,k->bxy", maps, ws)
+    return fn
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_scores_fn(lam, gt_size: int, metric: str, n_reweight: int,
                      chunk, quantized_blur: bool):

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cmdiad_tpu.data.feature_store import FeatureStore
@@ -81,6 +82,88 @@ class BatchedScoresMixin:
             tuple((key, ls, lm) for _, key, ls, lm in mods),
             self.cfg.gt_size, self.cfg.dist_method_s, self.cfg.n_reweight,
             self._chunk(), self.cfg.quantized_blur), mods
+
+    def _fused_shard_bank_fn(self, batch):
+        """(whole-chain fused predict program, modalities) for ROW-SHARDED
+        banks (cfg.shard_bank on a multi-device mesh), or (None, None).
+
+        VERDICT r4 #8: the staged sharded path keeps ~5 dispatches/batch in
+        the biggest-bank regime because ``_fused_single_device_ready``
+        excludes shard_bank.  This program folds the whole chain into ONE
+        jitted dispatch: extraction under a nested shard_map (batch-sharded
+        over 'data' when the loader-padded batch divides the mesh, else
+        replicated — either way the Mosaic kernels run in manual mode, never
+        under GSPMD's missing custom-call partitioning), then per-bank
+        shard_map'd (min, argmin) over the local bank shard
+        (parallel/eval._sharded_min_fn) with the eq.7/upsample/blur tail,
+        λ-stack and OCSVM fusion in GSPMD-land.  cos_dist keeps the staged
+        path (PAD_VALUE rows are only value-far under l2/l1 — same gate as
+        ``_sharded_scoring``).  Parity vs the staged chain is tested on the
+        8-device CPU mesh (tests/test_parallel.py)."""
+        c = self.cfg
+        if not (c.fused_eval and c.shard_bank and len(jax.devices()) > 1
+                and c.dist_method_s != "cos_dist"):
+            return None, None
+        from cmdiad_tpu.methods.base import _build_fused_shard_bank_body
+        from cmdiad_tpu.parallel.eval import (_sharded_min_fn,
+                                              _use_scoring_kernel)
+        mesh = self._get_mesh()
+        mods = self._batch_modalities()
+        n_dev = mesh.shape["data"]
+        # mirror _device_batch's key filter/batching WITHOUT uploading (the
+        # real upload happens once, in predict_batch)
+        dev = {}
+        for k, batched_ndim in (("rgb", 4), ("organized_pc", 4),
+                                ("depth3", 4), ("points_compact", 3)):
+            if k not in batch or (self.needed_keys is not None
+                                  and k not in self.needed_keys):
+                continue
+            v = np.asarray(batch[k])
+            shape = v.shape if v.ndim == batched_ndim else (1,) + v.shape
+            dev[k] = jax.ShapeDtypeStruct(shape, v.dtype)
+        b = next(v.shape[0] for v in dev.values())
+        dp = b % n_dev == 0
+        key = (id(mesh), tuple(sorted((k, v.shape) for k, v in dev.items())),
+               tuple(tuple(m) for m in mods), dp,
+               tuple(self.banks[bn].shape for bn, _, _, _ in mods))
+        cache = getattr(self, "_fused_sb_cache", None)
+        if cache is None:
+            cache = self._fused_sb_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            backbone, rgb_key = self.backbone, self.rgb_input_key
+            min_fns = tuple(
+                _sharded_min_fn(mesh, True, c.dist_method_s,
+                                _use_scoring_kernel(
+                                    self.banks[bn].shape[0] // n_dev,
+                                    c.dist_method_s))
+                for bn, _, _, _ in mods)
+
+            def extract(params, d):
+                return backbone.extract(
+                    params, images=d.get(rgb_key),
+                    organized_pc=d.get("organized_pc"),
+                    compact_pts=d.get("points_compact"))
+
+            lead = ("data",) if dp else (None,)
+            pspec = jax.tree.map(lambda _: P(), self.params)
+            dspec = {k: P(*lead, *([None] * (v.ndim - 1)))
+                     for k, v in dev.items()}
+            out_specs = jax.tree.map(
+                lambda _: P(*lead),
+                jax.eval_shape(extract, self.params, dev))
+            extract_fn = shard_map(extract, mesh=mesh,
+                                   in_specs=(pspec, dspec),
+                                   out_specs=out_specs, check_vma=False)
+            body = _build_fused_shard_bank_body(
+                extract_fn, rgb_key,
+                tuple((k2, ls, lm) for _, k2, ls, lm in mods),
+                min_fns, c.gt_size, c.dist_method_s, c.n_reweight,
+                c.quantized_blur)
+            fn = cache[key] = jax.jit(body)
+        return fn, mods
 
     def _fused_scores(self, patch_list, mods):
         """λ-stacked scoring of extracted patches as ONE program — shared
@@ -159,11 +242,13 @@ class BatchedScoresMixin:
         n = batch["_n"]
         fn, mods = (self._fused_fn() if self._fused_eval_ready()
                     else self._fused_dp_fn(batch))
+        if fn is None:  # row-sharded banks get their own whole-chain program
+            fn, mods = self._fused_shard_bank_fn(batch)
         if fn is not None:
             # extraction + scoring + λ-stack + OCSVM fusion as ONE program
-            # (methods.base._fused_eval_fn, or its shard_map DP variant):
-            # ~5 fewer dispatch RPCs per batch behind the remote relay;
-            # same ops, rounding-level equal.
+            # (methods.base._fused_eval_fn, its shard_map DP variant, or the
+            # row-sharded-bank variant): ~5 fewer dispatch RPCs per batch
+            # behind the remote relay; same ops, rounding-level equal.
             s, fused = fn(self.params, self._device_batch(batch),
                           self._fused_bank_args(mods),
                           *self._fuser_weights())
