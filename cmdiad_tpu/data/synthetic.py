@@ -20,13 +20,21 @@ import numpy as np
 from cmdiad_tpu.data import tiffio
 
 
-def _blob_pc(rng, size: int, defect: str = "good"):
+def _blob_pc(rng, size: int, defect: str = "good",
+             anomaly_radius=(0.05, 0.09)):
     """Organized pc (size,size,3) with zero background.
 
     defect: 'good' | 'dent' (local depth anomaly, gt marks it) |
     'blotch' (geometry is normal; the RGB defect is applied by
     ``_rgb_from_pc`` over the returned gt mask — exercises the RGB-only
     detection path, which depth features cannot see).
+    anomaly_radius: (lo, hi) of the defect radius in units of the image
+    side.  The default (0.05, 0.09) is sub-patch-sized for an 8-px ViT grid
+    at size=64 — pixel metrics see it but the max-patch image score barely
+    moves under random tiny backbones (measured image AUROC ~chance);
+    fixtures that need image-LEVEL signal (the on-chip end-metric delta
+    tests) pass ~(0.13, 0.18), which lifts image AUROC to ~0.94 on the same
+    tiny config.
     """
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     cx, cy = rng.uniform(0.4, 0.6, 2)
@@ -41,7 +49,7 @@ def _blob_pc(rng, size: int, defect: str = "good"):
     gt = np.zeros((size, size), np.float32)
     if defect in ("dent", "blotch"):
         ax, ay = rng.uniform(cx - r / 2, cx + r / 2), rng.uniform(cy - r / 2, cy + r / 2)
-        ar = rng.uniform(0.05, 0.09)
+        ar = rng.uniform(*anomaly_radius)
         a2 = (xx - ax) ** 2 + (yy - ay) ** 2
         mask = (a2 < ar * ar) & inside
         if defect == "dent":
@@ -65,12 +73,13 @@ def _rgb_from_pc(rng, pc, inside, size, blotch_mask=None):
 def make_synthetic_dataset(root: str, class_names=("widget",),
                            n_train: int = 6, n_test_good: int = 2,
                            n_test_bad: int = 3, n_test_color: int = 0,
-                           size: int = 64, seed: int = 0) -> str:
+                           size: int = 64, seed: int = 0,
+                           anomaly_radius=(0.05, 0.09)) -> str:
     """Write a miniature MVTec-3D-layout dataset under ``root``.
 
     ``n_test_bad`` depth dents + optional ``n_test_color`` color blotches
     (RGB anomaly on normal geometry, so the DINO/RGB path has a defect class
-    only it can detect)."""
+    only it can detect).  ``anomaly_radius`` — see ``_blob_pc``."""
     from PIL import Image
     rng = np.random.default_rng(seed)
     root_p = Path(root)
@@ -88,7 +97,8 @@ def make_synthetic_dataset(root: str, class_names=("widget",),
             for sub in ("rgb", "xyz") + (("gt",) if anomalous else ()):
                 os.makedirs(base / sub, exist_ok=True)
             for i in range(n):
-                pc, gt, inside = _blob_pc(rng, size, defect)
+                pc, gt, inside = _blob_pc(rng, size, defect,
+                                          anomaly_radius=anomaly_radius)
                 rgb = _rgb_from_pc(rng, pc, inside, size,
                                    blotch_mask=gt if defect == "blotch"
                                    else None)

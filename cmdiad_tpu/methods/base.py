@@ -995,9 +995,15 @@ class MemoryBankMethod:
         # number n_train·gt² (~10M) and sklearn's SGD fit on them measures
         # ~65 s of host time per class; a deterministic per-entry stride
         # reproduces the 2-feature direction to ~1e-3 at a fraction of the
-        # rows — selected ON DEVICE so only the kept rows cross the relay's
-        # 21 MB/s D2H path.  cfg.ocsvm_seg_max_rows=None restores the exact
-        # full-row reference behaviour.
+        # rows.  For BATCHED (B, k, gt, gt) device entries the stride runs
+        # ON DEVICE (_strided_map_rows_fn) so only the kept rows cross the
+        # relay's 21 MB/s D2H path; 2-D per-sample entries arrive from
+        # _push_late_fusion as HOST arrays (their D2H already happened in
+        # the per-sample _scores path), so striding them here is a cheap
+        # host slice, not a transfer saving.  This cap is a deliberate
+        # fit-time deviation from the reference's full-row fit
+        # (features.py:352-358) — bookkept in PARITY.md; ocsvm_seg_max_rows
+        # =None restores the exact full-row behaviour.
         cap = getattr(self.cfg, "ocsvm_seg_max_rows", None)
         total = sum(
             mp.shape[0] if getattr(mp, "ndim", 2) == 2

@@ -21,6 +21,13 @@ operands per row to int8 and runs the cross term as s8 x s8 -> s32 — the
 v5e MXU's int8 peak is 2x bf16 and this kernel is compute-bound above ~32k
 rows.  Norm terms stay exact f32; measured min-distance envelope ~0.1%
 relative (tests/test_blur_scoring.py::test_pallas_min_dist_int8_envelope).
+CAVEAT (near-duplicate regime): the cross-term error is ABSOLUTE —
+proportional to the row magnitudes, not to the distance — so for patches
+(nearly) coincident with a bank row (min distance ~0, the normal-patch
+regime that dominates s_map) the relative error is unbounded; measured
+worst-case ~5-8% of the patch row norm at exact coincidence (bounded by
+test_pallas_min_dist_int8_near_duplicate_rows, metric-level consequence
+pinned on-chip by test_tpu_only.test_int8_end_metric_delta).
 """
 
 from __future__ import annotations

@@ -179,6 +179,32 @@ def test_pallas_min_dist_int8_envelope(rng):
     np.testing.assert_allclose(chosen, d.min(1), rtol=5e-3)
 
 
+def test_pallas_min_dist_int8_near_duplicate_rows(rng):
+    """ADVICE r4: the int8 cross-term error is ABSOLUTE (proportional to
+    per-row magnitudes), so on near-zero min distances — test patches
+    (nearly) coincident with bank rows, the normal-patch regime that
+    dominates s_map — the RELATIVE error is unbounded and the rtol test
+    above proves nothing.  This pins the regime with an absolute bound:
+    error <= 10% of the patch row norm (measured ~5-8% worst-case at exact
+    coincidence for D in {64, 768}); the metric-level consequence is
+    arbitrated on-chip by test_tpu_only.test_int8_end_metric_delta."""
+    from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
+    d = 64
+    patch = rng.normal(size=(128, d)).astype(np.float32)
+    bank = rng.normal(size=(1024, d)).astype(np.float32)
+    bank[:128] = patch                                   # exact duplicates
+    bank[128:256] = patch + rng.normal(
+        size=(128, d)).astype(np.float32) * 1e-3         # near-duplicates
+    mv, _ = bank_min_dist_pallas(jnp.asarray(patch), jnp.asarray(bank),
+                                 tile=256, compute_dtype="int8")
+    true = np.linalg.norm(patch[:, None].astype(np.float64)
+                          - bank[None].astype(np.float64), axis=-1).min(1)
+    np.testing.assert_allclose(true, 0.0, atol=1e-3)     # regime sanity
+    row_norm = np.linalg.norm(patch, axis=1)
+    assert np.all(np.abs(np.asarray(mv) - true) <= 0.1 * row_norm), (
+        np.max(np.abs(np.asarray(mv) - true) / row_norm))
+
+
 def test_l2_int8_dense_paths_are_exact_l2(rng):
     """'l2_int8' is a KERNEL mode: cdist and every jnp fallback compute it
     as exact f32 l2 (routing doc in ops/scoring.cdist)."""

@@ -71,20 +71,34 @@ def test_seg_fuser_row_cap_matches_full_fit(dataset_root):
     """cfg.ocsvm_seg_max_rows (fit-time lever: the production seg-fuser fit
     over all n_train·gt² map rows costs ~65 s of host sklearn time; a
     deterministic stride reproduces the 2-feature direction) must leave the
-    metrics essentially unchanged and stay deterministic."""
-    full = _run(_cfg(method_name="DINO+Point_MAE",
-                     ocsvm_seg_max_rows=None), dataset_root)
+    metrics essentially unchanged and stay deterministic.
+
+    This is a DELIBERATE default deviation from the reference's full-row
+    seg-fuser fit (features.py:352-358) — bookkept in PARITY.md's quirk
+    table; None restores exact reference behaviour.  The bounds here pin
+    the config comment's claims: fitted DIRECTION equivalent to ~1e-3
+    (measured 1-cos ≈ 6e-10 on this fixture) and ranking metrics moved by
+    strictly less than the bf16 end-metric envelope (measured pixel-AUROC
+    delta 1.9e-6, AU-PRO delta 0)."""
+    full, r_full = _run_r(_cfg(method_name="DINO+Point_MAE",
+                               ocsvm_seg_max_rows=None), dataset_root)
     # 5 train imgs x 64² = 20480 rows; cap at 2048 -> stride 10
-    capped = _run(_cfg(method_name="DINO+Point_MAE",
-                       ocsvm_seg_max_rows=2048), dataset_root)
+    capped, r_cap = _run_r(_cfg(method_name="DINO+Point_MAE",
+                                ocsvm_seg_max_rows=2048), dataset_root)
     capped2 = _run(_cfg(method_name="DINO+Point_MAE",
                         ocsvm_seg_max_rows=2048), dataset_root)
     assert capped == capped2                       # deterministic stride
-    # the seg fuser only scales/rotates the 2-d score direction a little:
-    # ranking metrics move at most marginally (scale alone cannot move them)
-    assert abs(capped["pixel_rocauc"] - full["pixel_rocauc"]) < 0.02, (
+    # the strided fit must reproduce the full fit's 2-d score DIRECTION
+    # (AUROC/AU-PRO are invariant to the positive scale that may differ)
+    cf = np.asarray(r_full.method.seg_fuser.coef_).ravel()
+    cc = np.asarray(r_cap.method.seg_fuser.coef_).ravel()
+    cos = float(cf @ cc / (np.linalg.norm(cf) * np.linalg.norm(cc)))
+    assert 1.0 - cos < 1e-4, (cf, cc, cos)
+    assert abs(capped["pixel_rocauc"] - full["pixel_rocauc"]) < 5e-4, (
         full, capped)
-    assert abs(capped["au_pro"] - full["au_pro"]) < 0.03, (full, capped)
+    assert abs(capped["au_pro"] - full["au_pro"]) < 5e-4, (full, capped)
+    assert abs(capped["au_pro_001"] - full["au_pro_001"]) < 5e-4, (
+        full, capped)
     # detect fuser rows (per-image s vectors) are untouched by the cap
     assert capped["image_rocauc"] == full["image_rocauc"], (full, capped)
 

