@@ -69,7 +69,6 @@ def _config_from_args(args, dc_type):
 
 
 def cmd_detect(args) -> None:
-    import pandas as pd
     from cmdiad_tpu.data.mvtec3d import mvtec3d_classes, eyecandies_classes
     from cmdiad_tpu.runner import run_detection
 
@@ -89,6 +88,17 @@ def cmd_detect(args) -> None:
               "(view with xprof/tensorboard)")
     else:
         results = run_detection(cfg, classes)
+
+    write_result_tables(cfg, results)
+
+
+def write_result_tables(cfg: "Config", results: dict) -> dict:
+    """Per-metric markdown tables with a 10-class Mean column (reference
+    main.py:59-81 semantics, Q3 fixed: results_dir is a real directory),
+    printed and — when cfg.save_results — appended to ``results/*.md``.
+    Shared by the CLI and the production multi-class benchmark so the
+    committed benchmark tables are the real CLI artifact."""
+    import pandas as pd
 
     tables = {k: {} for k in ("image_rocauc", "pixel_rocauc", "au_pro",
                               "au_pro_001")}
@@ -114,6 +124,7 @@ def cmd_detect(args) -> None:
             with open(os.path.join(cfg.results_dir, names[k]), "a") as f:
                 f.write("\n\n" + cfg.experiment_note + "\n")
                 f.write(df.to_markdown(index=False))
+    return frames
 
 
 def cmd_train(args) -> None:
