@@ -294,50 +294,81 @@ def _build_fused_predict_body(backbone, rgb_key, mods, gt_size, metric,
     return fn
 
 
+def _sharded_lam_scores(feats, lams, bank_args, min_fns, gt_size, metric,
+                        n_reweight, quantized_blur):
+    """Per-bank scoring core of the fused shard-bank programs: normalise ->
+    shard_map'd (min, argmin) over the local bank shard (Mosaic kernel on
+    TPU, parallel/eval._sharded_min_fn) -> eq.7/upsample/blur tail in
+    GSPMD-land (one-row gathers and matvecs over the sharded bank, which
+    GSPMD partitions shard-local — the proven sharded_score_batch_fn
+    pattern) -> λ-weight, stack.
+
+    feats: per-bank (B, Np, D) tensors; lams: (lam_s, lam_m) per bank;
+    min_fns: one shard_map'd min per bank (their kernel routing depends on
+    per-bank LOCAL row counts).
+    """
+    from cmdiad_tpu.ops.scoring import patchcore_finish
+
+    ss, ms = [], []
+    for patches, (lam_s, lam_m), (bank, mean, std, n_valid, nn_table), mf \
+            in zip(feats, lams, bank_args, min_fns):
+        side = int(np.sqrt(patches.shape[1]))
+        normed = (patches - mean) / std
+        mv, mi = mf(normed, bank)
+
+        def one(p, v, i, bank=bank, n_valid=n_valid, nn_table=nn_table,
+                side=side):
+            return patchcore_finish(
+                p, bank, v, i, (side, side), out_size=gt_size,
+                metric=metric, n_reweight=n_reweight, n_valid=n_valid,
+                quantized_blur=quantized_blur, nn_table=nn_table)
+
+        s, m = jax.vmap(one)(normed, mv, mi)
+        ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
+        ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
+    return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
+
+
 def _build_fused_shard_bank_body(extract_fn, rgb_key, mods, min_fns,
                                  gt_size, metric, n_reweight,
                                  quantized_blur):
     """Fused whole-chain predict body for ROW-SHARDED banks: extraction ->
-    per-bank shard_map'd (min, argmin) over the local bank shard (Mosaic
-    kernel on TPU, parallel/eval._sharded_min_fn) -> eq.7/upsample/blur tail
-    in GSPMD-land (one-row gathers and matvecs over the sharded bank, which
-    GSPMD partitions shard-local — the proven sharded_score_batch_fn
-    pattern) -> λ-stack -> linear-OCSVM fusion.  ONE jitted dispatch per
-    batch where the staged sharded path costs ~5 (extract, per-bank sharded
-    scoring, stack, fuse).
+    ``_sharded_lam_scores`` -> linear-OCSVM fusion.  ONE jitted dispatch
+    per batch where the staged sharded path costs ~5 (extract, per-bank
+    sharded scoring, stack, fuse).
 
     ``extract_fn`` is pre-wrapped by the caller (shard_map over 'data' when
     the batch divides the mesh, replicated shard_map otherwise) so the
     Mosaic extraction kernels never meet GSPMD's missing custom-call
-    partitioning rules.  ``min_fns``: one shard_map'd min per bank (their
-    kernel routing depends on per-bank LOCAL row counts).
+    partitioning rules.
     """
-    from cmdiad_tpu.ops.scoring import patchcore_finish
-
-    def scores(params, dev, bank_args):
-        out = extract_fn(params, dev)
-        ss, ms = [], []
-        for (key, lam_s, lam_m), (bank, mean, std, n_valid, nn_table), mf \
-                in zip(mods, bank_args, min_fns):
-            patches = out[key]
-            side = int(np.sqrt(patches.shape[1]))
-            normed = (patches - mean) / std
-            mv, mi = mf(normed, bank)
-
-            def one(p, v, i, bank=bank, n_valid=n_valid, nn_table=nn_table,
-                    side=side):
-                return patchcore_finish(
-                    p, bank, v, i, (side, side), out_size=gt_size,
-                    metric=metric, n_reweight=n_reweight, n_valid=n_valid,
-                    quantized_blur=quantized_blur, nn_table=nn_table)
-
-            s, m = jax.vmap(one)(normed, mv, mi)
-            ss.append(jnp.float32(lam_s) * s.astype(jnp.float32))
-            ms.append(jnp.float32(lam_m) * m.astype(jnp.float32))
-        return jnp.stack(ss, axis=1), jnp.stack(ms, axis=1)
-
     def fn(params, dev, bank_args, wd, ws):
-        s_vec, maps = scores(params, dev, bank_args)
+        out = extract_fn(params, dev)
+        s_vec, maps = _sharded_lam_scores(
+            [out[key] for key, _, _ in mods],
+            [(ls, lm) for _, ls, lm in mods],
+            bank_args, min_fns, gt_size, metric, n_reweight, quantized_blur)
+        return s_vec @ wd, jnp.einsum("bkxy,k->bxy", maps, ws)
+    return fn
+
+
+def _build_fused_shard_bank_mtfi_body(extract_hall_fn, lam, min_fns,
+                                      gt_size, metric, n_reweight,
+                                      quantized_blur):
+    """MTFI (FtoF/ItoF) variant of ``_build_fused_shard_bank_body``:
+    ``extract_hall_fn`` (shard_map-wrapped main-modality extraction +
+    in-program hallucination) -> main+fusion sharded scoring -> OCSVM
+    fusion, as ONE program over row-sharded banks.  FtoI keeps the staged
+    path — its hallucinated image re-enters the other backbone via a
+    deliberate host round-trip.  lam: (lam_s_main, lam_m_main, lam_s_fusion,
+    lam_m_fusion)."""
+    lam_s_m, lam_m_m, lam_s_f, lam_m_f = lam
+
+    def fn(params, dev, fusion_vars, bank_args, wd, ws):
+        main_feat, hall = extract_hall_fn(params, fusion_vars, dev)
+        s_vec, maps = _sharded_lam_scores(
+            [main_feat, hall], [(lam_s_m, lam_m_m), (lam_s_f, lam_m_f)],
+            bank_args, min_fns, gt_size, metric, n_reweight, quantized_blur)
         return s_vec @ wd, jnp.einsum("bkxy,k->bxy", maps, ws)
     return fn
 

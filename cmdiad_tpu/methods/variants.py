@@ -725,6 +725,92 @@ class HallucinationMethod(MemoryBankMethod):
             c.gt_size, c.dist_method_s, c.n_reweight, self._chunk(),
             c.quantized_blur), main
 
+    def _fused_shard_bank_fn(self, batch):
+        """(whole-chain fused MTFI predict program, main bank name) for
+        ROW-SHARDED banks, or (None, None) — the MTFI analogue of
+        BatchedScoresMixin._fused_shard_bank_fn: main-modality extraction +
+        in-program hallucination under a nested shard_map, then per-bank
+        shard_map'd min over the local bank shard with the scoring tail,
+        λ-stack and OCSVM fusion in GSPMD-land, as ONE dispatch.  FtoF/ItoF
+        only (FtoI's hallucinated image re-enters the other backbone via a
+        deliberate host round-trip, so it keeps the staged sharded path)."""
+        c = self.cfg
+        if not (c.fused_eval and c.shard_bank and len(jax.devices()) > 1
+                and c.dist_method_s != "cos_dist"
+                and (c.use_hn or c.use_hn_conv or c.use_hrnet)):
+            return None, None
+        from cmdiad_tpu.methods.base import _build_fused_shard_bank_mtfi_body
+        from cmdiad_tpu.parallel.eval import (_sharded_min_fn,
+                                              _use_scoring_kernel)
+        mesh = self._get_mesh()
+        n_dev = mesh.shape["data"]
+        main, main_key, lam_s, lam_m = self._main_keys()
+        # shape-only mirror of _fused_inputs + _device_batch (no upload)
+        key_dims = ((("rgb", 4),) if c.main_modality == "rgb"
+                    else (("organized_pc", 4), ("points_compact", 3)))
+        dev = {}
+        for k, nd in key_dims:
+            if k not in batch:
+                continue
+            v = np.asarray(batch[k])
+            shape = v.shape if v.ndim == nd else (1,) + v.shape
+            dev[k] = jax.ShapeDtypeStruct(shape, v.dtype)
+        b = next(v.shape[0] for v in dev.values())
+        dp = b % n_dev == 0
+        key = (id(mesh), tuple(sorted((k, v.shape) for k, v in dev.items())),
+               dp, tuple(self.banks[bn].shape for bn in (main, "fusion")))
+        cache = getattr(self, "_fused_sb_cache", None)
+        if cache is None:
+            cache = self._fused_sb_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            backbone, fusion = self.backbone, self.fusion
+            flavor = "hrnet" if c.use_hrnet else "ftof"
+            main_modality = c.main_modality
+            min_fns = tuple(
+                _sharded_min_fn(mesh, True, c.dist_method_s,
+                                _use_scoring_kernel(
+                                    self.banks[bn].shape[0] // n_dev,
+                                    c.dist_method_s))
+                for bn in (main, "fusion"))
+
+            def extract_hall(params, fusion_vars, d):
+                out = backbone.extract(
+                    params, images=d.get("rgb"),
+                    organized_pc=d.get("organized_pc"),
+                    compact_pts=d.get("points_compact"))
+                if flavor == "hrnet":
+                    img = (d["rgb"] if main_modality == "rgb"
+                           else d["organized_pc"])
+                    grid = fusion.apply(fusion_vars, img)   # (B, 56, 56, D)
+                    hall = grid.reshape(grid.shape[0], -1, grid.shape[-1])
+                else:
+                    feat = (out["rgb_patch2"] if main_modality == "rgb"
+                            else out["xyz_patch"])
+                    out_type = "xyz" if main_modality == "rgb" else "rgb"
+                    hall = fusion.apply(fusion_vars, feat, out_type,
+                                        method="generate")
+                return out[main_key], hall
+
+            lead = ("data",) if dp else (None,)
+            pspec = jax.tree.map(lambda _: P(), self.params)
+            fspec = jax.tree.map(lambda _: P(), self.fusion_vars)
+            dspec = {k: P(*lead, *([None] * (v.ndim - 1)))
+                     for k, v in dev.items()}
+            extract_fn = shard_map(extract_hall, mesh=mesh,
+                                   in_specs=(pspec, fspec, dspec),
+                                   out_specs=(P(*lead), P(*lead)),
+                                   check_vma=False)
+            body = _build_fused_shard_bank_mtfi_body(
+                extract_fn,
+                (lam_s, lam_m, c.fusion_s_lambda, c.fusion_smap_lambda),
+                min_fns, c.gt_size, c.dist_method_s, c.n_reweight,
+                c.quantized_blur)
+            fn = cache[key] = jax.jit(body)
+        return fn, main
+
     def _fused_scores(self, patch_list, main):
         """Shared scores/λ-stack program (methods.base._fused_scores_fn) —
         the SAME program scores recomputed and cache_train_features
@@ -764,6 +850,8 @@ class HallucinationMethod(MemoryBankMethod):
         n = batch["_n"]
         fn, main = (self._fused_fn() if self._fused_eval_ready()
                     else self._fused_dp_fn(batch))
+        if fn is None:  # row-sharded banks get their own whole-chain program
+            fn, main = self._fused_shard_bank_fn(batch)
         if fn is not None:
             s, fused = fn(self.params, self._fused_inputs(batch),
                           self.fusion_vars, self._fused_bank_args(main),

@@ -298,6 +298,71 @@ def test_e2e_fused_eval_sharded_bank(rng, tmp_path_factory, batch_size):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_e2e_mtfi_fused_eval_sharded_bank(rng, tmp_path_factory):
+    """MTFI (FtoF) with cfg.shard_bank + cfg.fused_eval: the whole-chain
+    ONE-dispatch program (main-modality extraction + in-program
+    hallucination under shard_map, sharded per-bank min, GSPMD tail) must
+    engage and match the staged sharded chain."""
+    from cmdiad_tpu.config import Config
+    from cmdiad_tpu.data.synthetic import make_synthetic_dataset
+    from cmdiad_tpu.data.loader import iter_samples, stack_batches
+    from cmdiad_tpu.data.mvtec3d import MVTec3DDataset
+    from cmdiad_tpu.models.backbone import DualBackbone
+    from cmdiad_tpu.models.vit import ViTConfig
+    from cmdiad_tpu.models.point_mae import PointMAEConfig
+    from cmdiad_tpu.models.hallucination import FtoFMlp
+    from cmdiad_tpu.methods.base import _fuse_predict
+    from cmdiad_tpu.methods.registry import _METHODS
+    from cmdiad_tpu.runner import CMDIADRunner
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
+
+    root = make_synthetic_dataset(
+        str(tmp_path_factory.mktemp("synth_mtfi_sb")), size=64, n_train=5,
+        n_test_good=2, n_test_bad=3)
+    bb = DualBackbone(
+        vit_config=ViTConfig(img_size=64, patch_size=8, embed_dim=32,
+                             depth=1, num_heads=2),
+        pm_config=PointMAEConfig(num_group=16, group_size=8, encoder_dims=16,
+                                 trans_dim=16, depth=1, num_heads=2,
+                                 fetch_idx=(0,)),
+        use_pallas=False, image_size=64)
+    params = bb.init_params(0)
+    net = FtoFMlp(16, 32)
+    fusion_vars = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)),
+                           jnp.zeros((1, 4, 32)))
+
+    cfg = Config(method_name="WithHallucination", dataset_path=root,
+                 main_modality="xyz", use_hn=True,
+                 rgb_size=64, xyz_size=64, gt_size=64, f_coreset=0.5,
+                 max_sample=10, batch_size=8, shard_bank=True)
+    method = _METHODS["WithHallucination"](
+        cfg, bb, params, fusion=net, fusion_vars=fusion_vars)
+    r = CMDIADRunner.__new__(CMDIADRunner)
+    r.cfg, r.method, r.timings = cfg, method, {}
+    r.fit("widget")
+    metrics = r.evaluate("widget")
+    for k in ("image_rocauc", "pixel_rocauc", "au_pro"):
+        assert 0.0 <= metrics[k] <= 1.0
+
+    m = r.method
+    assert not m._fused_eval_ready()
+    ds = MVTec3DDataset(root, "widget", "test", rgb_size=64, xyz_size=64,
+                        gt_size=64)
+    batch = next(stack_batches(iter_samples(ds), 8))
+    fn, main = m._fused_shard_bank_fn(batch)
+    assert fn is not None                 # the fused program engaged
+    s_f, fused_f = fn(m.params, m._fused_inputs(batch), m.fusion_vars,
+                      m._fused_bank_args(main), *m._fuser_weights())
+    m.cfg = m.cfg.replace(fused_eval=False)
+    s_vec, maps = m._scores_batch(batch)  # staged sharded chain
+    s_st, fused_st = _fuse_predict(s_vec, maps, *m._fuser_weights())
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_st),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused_f), np.asarray(fused_st),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_state_round_trip_sharded_bank(rng, tmp_path_factory):
     """save_state/load_state across the row-sharded placement: the loaded
     bank re-takes its P('data') sharding on this process's mesh and scores
