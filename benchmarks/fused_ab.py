@@ -70,45 +70,62 @@ def main():
     runner.fit("widget")
     fit_s = time.perf_counter() - t0
 
-    def eval_pass():
+    # pre-decoded test samples isolate the dispatch question from host IO:
+    # the streamed arm includes per-batch tiff/png decode (the production
+    # loader path), the preloaded arm is pure dispatch+device+D2H
+    from cmdiad_tpu.runner import preload_class_samples
+    pre = preload_class_samples(cfg, "widget")["test"]
+
+    def eval_pass(preloaded):
         runner.method.reset_predictions()
-        t0 = time.perf_counter()
-        metrics = runner.evaluate("widget")
+        metrics = runner.evaluate("widget",
+                                  test_samples=pre if preloaded else None)
         return runner.timings["eval_s"], metrics
 
     # compile/warm BOTH program sets before any timed pass
     base_metrics = {}
     for fused in (True, False):
         runner.method.cfg = cfg.replace(fused_eval=fused)
-        _, base_metrics[fused] = eval_pass()
+        _, base_metrics[fused] = eval_pass(False)
     # fused vs staged results are rounding-level equal (tested in
     # test_e2e); the metric check here guards against a silent fallback
     for k, v in base_metrics[True].items():
         assert abs(v - base_metrics[False][k]) < 1e-3, (k, base_metrics)
 
-    times = {True: [], False: []}
+    times = {(f, p): [] for f in (True, False) for p in (True, False)}
     for rep in range(repeats):
-        for fused in (True, False):
-            runner.method.cfg = cfg.replace(fused_eval=fused)
-            t, _ = eval_pass()
-            times[fused].append(round(t, 3))
-            print(f"# rep {rep} fused={fused}: {t:.3f}s "
-                  f"({n_test / t:.2f} img/s)", file=sys.stderr, flush=True)
+        for preloaded in (False, True):
+            for fused in (True, False):
+                runner.method.cfg = cfg.replace(fused_eval=fused)
+                t, _ = eval_pass(preloaded)
+                times[(fused, preloaded)].append(round(t, 3))
+                print(f"# rep {rep} fused={fused} preloaded={preloaded}: "
+                      f"{t:.3f}s ({n_test / t:.2f} img/s)",
+                      file=sys.stderr, flush=True)
 
-    med_on = statistics.median(times[True])
-    med_off = statistics.median(times[False])
+    med = {k: statistics.median(v) for k, v in times.items()}
     out = {
         "backend": jax.default_backend(),
         "n_train": n_train, "n_test": n_test, "batch": batch, "size": size,
         "repeats": repeats,
         "fit_s": round(fit_s, 1),
-        "eval_s_fused": times[True],
-        "eval_s_staged": times[False],
-        "median_eval_s_fused": med_on,
-        "median_eval_s_staged": med_off,
-        "median_img_per_s_fused": round(n_test / med_on, 2),
-        "median_img_per_s_staged": round(n_test / med_off, 2),
-        "fused_speedup": round(med_off / med_on, 3),
+        "eval_s_fused": times[(True, False)],
+        "eval_s_staged": times[(False, False)],
+        "eval_s_fused_preloaded": times[(True, True)],
+        "eval_s_staged_preloaded": times[(False, True)],
+        "median_eval_s_fused": med[(True, False)],
+        "median_eval_s_staged": med[(False, False)],
+        "median_eval_s_fused_preloaded": med[(True, True)],
+        "median_eval_s_staged_preloaded": med[(False, True)],
+        "median_img_per_s_fused": round(n_test / med[(True, False)], 2),
+        "median_img_per_s_staged": round(n_test / med[(False, False)], 2),
+        "median_img_per_s_fused_preloaded": round(
+            n_test / med[(True, True)], 2),
+        "median_img_per_s_staged_preloaded": round(
+            n_test / med[(False, True)], 2),
+        "fused_speedup": round(med[(False, False)] / med[(True, False)], 3),
+        "fused_speedup_preloaded": round(
+            med[(False, True)] / med[(True, True)], 3),
         "metrics": {k: round(v, 4) for k, v in base_metrics[True].items()},
     }
     print(json.dumps(out))

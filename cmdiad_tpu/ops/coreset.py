@@ -131,6 +131,24 @@ def greedy_kcenter(z: jnp.ndarray, n_select: int, metric: str = "l2",
     return idxs.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("n_select", "iters", "metric",
+                                             "compute_dtype", "pad"))
+def _greedy_bucketed(z, n_select: int, iters: int, metric: str,
+                     compute_dtype: str, pad: int):
+    """Row-pad + greedy scan + prefix slice as ONE jitted program.
+
+    The eager form of the bucketing (jnp.concatenate + broadcast_to before
+    the scan, idxs[:n_select] after it) paid one first-use remote compile
+    PER EAGER OP PER PROCESS on the axon backend — eager compiles there are
+    seconds-to-minutes and bypass every cache (CLAUDE.md), which is pure
+    cold-fit latency.  Same math, same scan program inlined."""
+    if pad:
+        z = jnp.concatenate(
+            [z, jnp.broadcast_to(z[0], (pad, z.shape[1]))], axis=0)
+    return greedy_kcenter(z, iters, metric=metric,
+                          compute_dtype=compute_dtype)[:n_select]
+
+
 def coreset_select(bank: jnp.ndarray, f_coreset: float, eps: float = 0.9,
                    seed: int = 0, metric: str = "l2",
                    compute_dtype: str = "FP16",
@@ -162,12 +180,9 @@ def coreset_select(bank: jnp.ndarray, f_coreset: float, eps: float = 0.9,
         z = bank.astype(jnp.float32)
     if metric in ("l2", "l1", "cos_dist") and bucket_rows > 1:
         pad = (-n) % bucket_rows
-        if pad:
-            z = jnp.concatenate(
-                [z, jnp.broadcast_to(z[0], (pad, z.shape[1]))], axis=0)
         iters = min(-(-n_select // bucket_iters) * bucket_iters, n)
     else:
+        pad = 0
         iters = n_select
-    idxs = greedy_kcenter(z, iters, metric=metric,
-                          compute_dtype=compute_dtype)
-    return idxs[:n_select]
+    return _greedy_bucketed(z, n_select, iters, metric=metric,
+                            compute_dtype=compute_dtype, pad=pad)
