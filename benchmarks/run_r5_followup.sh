@@ -19,4 +19,13 @@ echo "    -> artifacts/r5_system_cold2.json"
 CMDIAD_SYS_CACHE=1 timeout 7200 python benchmarks/system_throughput.py \
   artifacts/r5_system_cold2.json
 
+echo "=== D. TPU-only suite re-run (fixed int8 bounds + chunked oracle)"
+echo "    -> artifacts/tpu_suite_r5.log"
+CMDIAD_TEST_ON_TPU=1 timeout 10800 python -m pytest \
+  tests/test_point_ops.py tests/test_tpu_only.py -q \
+  | tee artifacts/tpu_suite_r5.log
+
+echo "=== E. headline refresh with the round-5 default (l2_int8 scoring)"
+timeout 3600 python bench.py | tee artifacts/bench_r5_headline.json
+
 echo "=== DONE"
