@@ -25,6 +25,11 @@ Env:    CMDIAD_SYS_TRAIN (default 200), CMDIAD_SYS_TEST (default 50),
         fit+eval, fit the SAME class again with a fresh method object —
         every program already traced/compiled — and report fit_s_warm,
         the steady-state per-class fit a multi-class run sees),
+        CMDIAD_SYS_BANK_CACHE (single-class mode: a directory for
+        cfg.bank_cache_dir — the fit persists the fitted state there and
+        a SECOND fresh runner then serves straight from it; reports
+        serve_load_s / serve_eval_images_per_s, the production serving
+        path that skips the fit entirely),
         CMDIAD_SYS_CLASSES (default 1: the
         single-class cold+warm report; >1: the production multi-class
         ``run_detection`` path — shared backbone, cross-class preload
@@ -86,10 +91,12 @@ def main():
         n_test_good=n_good, n_test_bad=n_dent, n_test_color=n_blotch)
     gen_s = time.perf_counter() - t0
 
+    bank_cache = os.environ.get("CMDIAD_SYS_BANK_CACHE", "")
     kwargs = dict(dataset_path=root, method_name="DINO+Point_MAE",
                   batch_size=batch, compute_dtype=dtype, use_flash=use_flash,
                   f_coreset=0.1, max_sample=500,
                   fused_eval=os.environ.get("CMDIAD_SYS_FUSED", "1") == "1",
+                  bank_cache_dir=bank_cache,
                   cache_train_features=os.environ.get(
                       "CMDIAD_SYS_CACHE", "0") == "1",
                   rgb_size=size, xyz_size=size, gt_size=size)
@@ -193,7 +200,10 @@ def main():
     # multi-class run (VERDICT r4 #4's target lives here)
     warm = {}
     if os.environ.get("CMDIAD_SYS_WARMFIT", "1") == "1":
-        runner2 = CMDIADRunner(cfg, backbone=backbone, params=runner.method.params)
+        # bank_cache_dir stripped: the warm REFIT must actually refit (the
+        # serving-from-cache path is measured separately below)
+        runner2 = CMDIADRunner(cfg.replace(bank_cache_dir=""),
+                               backbone=backbone, params=runner.method.params)
         t0 = time.perf_counter()
         runner2.fit("widget")
         warm = {
@@ -207,6 +217,26 @@ def main():
         m3 = runner2.evaluate("widget")
         assert {k: round(v, 6) for k, v in m3.items()} == \
                {k: round(v, 6) for k, v in metrics.items()}, (metrics, m3)
+
+    serve = {}
+    if bank_cache:
+        # the SERVING path: a fresh runner loads the persisted fitted state
+        # (banks + NN tables + stats + fusers) and never runs the fit — the
+        # capability the reference lacks (banks rebuilt per run, SURVEY §5)
+        runner3 = CMDIADRunner(cfg, backbone=backbone,
+                               params=runner.method.params)
+        t0 = time.perf_counter()
+        runner3.fit("widget")      # load_state path: no bank/coreset pass
+        serve["serve_load_s"] = round(time.perf_counter() - t0, 2)
+        assert "bank_load_s" in runner3.timings, runner3.timings
+        m4 = runner3.evaluate("widget")
+        serve["serve_eval_s"] = round(runner3.timings["eval_s"], 2)
+        serve["serve_eval_images_per_s"] = round(
+            runner3.timings["eval_images_per_s"], 2)
+        for k, v in m4.items():  # warm-fit asserts bit-equality; the cache
+            # round-trips banks through f32 npz, so serving is equal to
+            # rounding — still the same detection outcome
+            assert abs(v - metrics[k]) < 1e-6, (k, m4, metrics)
 
     out = {
         "backend": jax.default_backend(),
@@ -228,6 +258,7 @@ def main():
             runner.timings.get("eval_images_per_s", 0), 2),
         "metrics": {k: round(v, 4) for k, v in metrics.items()},
         **warm,
+        **serve,
     }
     out["hbm_peak_total_gb"] = hbm_peak_gb()
     print(json.dumps(out))
