@@ -34,6 +34,16 @@ CONFIGS = [
                             metric="l2_int8")),
     ("batch16_int8",   dict(bank_rows=65536, batch=16, dtype="bfloat16",
                             metric="l2_int8")),
+    # post-refinement re-measures (the *_refined tags run the same configs
+    # through the round-5 exact-refinement kernel wrapper — argmin row
+    # gathered and its distance recomputed exactly in f32,
+    # ops/pallas_scoring._exact_refine; kwargs identical, code differs)
+    ("headline_l2_refined",   dict(bank_rows=65536, batch=8,
+                                   dtype="bfloat16")),
+    ("headline_int8_refined", dict(bank_rows=65536, batch=8,
+                                   dtype="bfloat16", metric="l2_int8")),
+    ("largest_int8_refined",  dict(bank_rows=163840, batch=8,
+                                   dtype="bfloat16", metric="l2_int8")),
 ]
 
 

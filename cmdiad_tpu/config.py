@@ -81,8 +81,11 @@ class Config:
     # features.py:186-205) | 'l2_int8': l2 with the streaming bank-min
     # kernel's -2·q·bᵀ cross term quantised to int8 per row (s8 MXU peak is
     # 2x bf16 on v5e; the |q|²/|b|² terms and every dense/jnp path stay
-    # exact f32).  Approximation envelope measured at ~0.1% relative on the
-    # min-distance — inside the bf16 kernel's accepted ~0.4%.
+    # exact f32).  Since round 5 the kernel (bf16 AND int8) only SELECTS
+    # the argmin with the quantised product; the min value itself is
+    # recomputed exactly in f32 for the selected row
+    # (ops/pallas_scoring._exact_refine), so the only residual error is a
+    # near-tie argmin flip reporting the true distance of the near-tie.
     dist_method_s: str = "l2"
     dist_method_coreset: str = "l2"
     random_state: Optional[int] = None  # SRP seed; None -> 0 (reference is nondeterministic here)

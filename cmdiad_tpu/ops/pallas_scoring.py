@@ -19,15 +19,24 @@ reweight's k=3 runs on one bank row downstream and stays in jnp.
 ``compute_dtype='int8'`` (cfg.dist_method_s='l2_int8') quantises both
 operands per row to int8 and runs the cross term as s8 x s8 -> s32 — the
 v5e MXU's int8 peak is 2x bf16 and this kernel is compute-bound above ~32k
-rows.  Norm terms stay exact f32; measured min-distance envelope ~0.1%
-relative (tests/test_blur_scoring.py::test_pallas_min_dist_int8_envelope).
-CAVEAT (near-duplicate regime): the cross-term error is ABSOLUTE —
-proportional to the row magnitudes, not to the distance — so for patches
-(nearly) coincident with a bank row (min distance ~0, the normal-patch
-regime that dominates s_map) the relative error is unbounded; measured
-worst-case ~5-8% of the patch row norm at exact coincidence (bounded by
-test_pallas_min_dist_int8_near_duplicate_rows, metric-level consequence
-pinned on-chip by test_tpu_only.test_int8_end_metric_delta).
+rows.  Norm terms stay exact f32.
+
+**Exact refinement (round 5, default on):** the kernel's quantised cross
+term (bf16 ~0.4%/element, int8 ~0.5%/element, and ABSOLUTE — proportional
+to row magnitudes, not to the distance, so unbounded in relative terms for
+patches (nearly) coincident with a bank row: min distance ~0, the
+normal-patch regime that dominates s_map; measured raw worst-case ~5-8% of
+the patch row norm at exact coincidence) only SELECTS the argmin row; the
+returned min VALUE is then recomputed exactly in f32 from the selected row
+via the cancellation-free elementwise (p-b)² form — one (Np, D) row gather
++ reduce, ~40 µs/img vs the ~2 ms bank pass.  The residual error is pure
+selection error: when quantisation flips the argmin between near-tied rows
+the reported distance is the true distance of a near-tie (bounded by 2x
+the raw cross-term envelope, and usually far less).  Raw-kernel envelopes
+are pinned by tests/test_blur_scoring.py::test_pallas_min_dist_int8_*
+(refine=False); the refined path's collapse of the near-duplicate error is
+tested next to them, and the metric-level consequence on-chip by
+test_tpu_only.test_int8_end_metric_delta.
 """
 
 from __future__ import annotations
@@ -119,31 +128,57 @@ def _kernel(nq, tile, patch_ref, pnorm_ref, bank_ref, bnorm_ref,
         mini_ref[0, :] = run_i[0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
+def _exact_refine(patch_f32: jnp.ndarray, bank: jnp.ndarray,
+                  min_idx: jnp.ndarray) -> jnp.ndarray:
+    """Exact f32 distance of each patch row to its SELECTED bank row.
+
+    Elementwise (p-b)² form on purpose: the a²+b²-2ab identity both
+    reintroduces the cancellation error this refinement exists to remove
+    and hits the known XLA:TPU fusion-emitter crash for batched dots over
+    gathered operands (CLAUDE.md); the diff form is a gather + reduce,
+    non-negative by construction."""
+    sel = jnp.take(bank, min_idx, axis=0).astype(jnp.float32)  # (Np, D)
+    diff = patch_f32 - sel
+    return jnp.sqrt(jnp.sum(diff * diff, axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "compute_dtype",
+                                             "refine"))
 def bank_min_dist_pallas(patch: jnp.ndarray, bank: jnp.ndarray,
-                         tile: int = 1024, compute_dtype: str = "bfloat16"):
+                         tile: int = 1024, compute_dtype: str = "bfloat16",
+                         refine: bool = True):
     """(min euclidean distance, argmin) of each patch row over the bank.
 
     Args:
       patch: (Np, D) float32 (Np a multiple of 128 after padding here).
       bank:  (Nb, D) float32, Nb a multiple of ``tile``.
+      refine: recompute the min value exactly in f32 for the selected row
+        (see module docstring) — the quantised product then only picks the
+        row.  Default on; False exposes the raw kernel values (envelope
+        tests, and the measured-raw-caveat documentation they pin).
     Returns:
-      (min_val (Np,) float32, min_idx (Np,) int32) — matches
-      ops.scoring.bank_min_dist within the bf16 product's precision.
+      (min_val (Np,) float32, min_idx (Np,) int32) — with ``refine`` the
+      value equals ops.scoring.bank_min_dist's exact f32 distance for the
+      selected row; the selection itself matches within the quantised
+      product's near-tie envelope.
     """
     nq_orig, d = patch.shape
     nb = bank.shape[0]
     assert nb % tile == 0, (nb, tile)
 
     nq = -(-nq_orig // 128) * 128
-    patch_p = jnp.pad(patch.astype(jnp.float32), ((0, nq - nq_orig), (0, 0)))
+    patch_f32 = patch.astype(jnp.float32)
+    patch_p = jnp.pad(patch_f32, ((0, nq - nq_orig), (0, 0)))
     pnorm = jnp.sum(patch_p * patch_p, axis=1)[None, :]       # (1, Nq) f32
     bnorm = jnp.sum(bank.astype(jnp.float32) * bank.astype(jnp.float32),
                     axis=1)[:, None]                          # (Nb, 1) f32
 
     if compute_dtype == "int8":
-        return _bank_min_dist_int8(patch_p, pnorm, bank, bnorm,
-                                   nq_orig, nq, tile)
+        mv, mi = _bank_min_dist_int8(patch_p, pnorm, bank, bnorm,
+                                     nq_orig, nq, tile)
+        if refine:
+            mv = _exact_refine(patch_f32, bank, mi)
+        return mv, mi
     cdt = jnp.dtype(compute_dtype)
 
     minv, mini = pl.pallas_call(
@@ -180,8 +215,12 @@ def bank_min_dist_pallas(patch: jnp.ndarray, bank: jnp.ndarray,
         interpret=jax.default_backend() != "tpu",
     )(patch_p.T.astype(cdt), pnorm, bank.astype(cdt), bnorm)
 
-    min_val = jnp.sqrt(jnp.maximum(minv[0, :nq_orig], 0.0))
-    return min_val, mini[0, :nq_orig]
+    mi = mini[0, :nq_orig]
+    if refine:
+        min_val = _exact_refine(patch_f32, bank, mi)
+    else:
+        min_val = jnp.sqrt(jnp.maximum(minv[0, :nq_orig], 0.0))
+    return min_val, mi
 
 
 def _bank_min_dist_int8(patch_p, pnorm, bank, bnorm, nq_orig, nq, tile):

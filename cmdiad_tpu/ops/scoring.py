@@ -210,11 +210,13 @@ def patchcore_score(patch: jnp.ndarray, bank: jnp.ndarray,
     # kernel (ops.pallas_scoring) — the distance matrix never materialises.
     # Padding rows are value-far under l2, so no index masking is needed.
     # (measured crossover: jnp wins below ~32k rows, the kernel above.)
-    # NOTE the kernel's (min, argmin) comes from its bf16 -2·q·bᵀ product:
-    # both s_star and the m_star choice below carry that ~0.4% relative
-    # error envelope even at compute_dtype=float32 — near-equidistant bank
-    # rows can flip m_star vs an exact f32 pass (accepted since round 1 for
-    # s_star; the argmin choice joined it when reuse made it free).
+    # NOTE the kernel's quantised -2·q·bᵀ product (bf16 here, s8 under
+    # 'l2_int8') only SELECTS the argmin row since round 5: the returned
+    # min values are exactly-recomputed f32 distances of the selected rows
+    # (pallas_scoring._exact_refine), so s_map/s_star carry no product-
+    # rounding error — only the m_star/argmin CHOICE can differ from an
+    # exact pass, between near-tied bank rows (and then the reported value
+    # is the true distance of that near-tie).
     # On the jnp path, per-patch argmin tracking inside the chunked scan
     # costs as much as the distance matmul itself (the VPU index-reduce
     # doubles the pass) and is only needed for ONE patch, so min values

@@ -164,19 +164,29 @@ def test_pallas_min_dist_matches_jnp(rng):
 def test_pallas_min_dist_int8_envelope(rng):
     """int8-quantised kernel (interpret mode off-TPU) vs the exact f64
     oracle: the per-row symmetric quantisation of the -2·q·bᵀ cross term
-    must keep min distances within ~0.5% relative (measured ~0.1%), and any
-    argmin disagreement must pick a row whose TRUE distance is within that
-    same envelope of the true minimum (a near-tie, not a wrong answer)."""
+    must keep RAW min distances within ~0.5% relative (measured ~0.1%), and
+    any argmin disagreement must pick a row whose TRUE distance is within
+    that same envelope of the true minimum (a near-tie, not a wrong
+    answer).  The shipped refined path must return the selected row's exact
+    f32 distance."""
     from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
     patch = rng.normal(size=(300, 64)).astype(np.float32)
     bank = rng.normal(size=(2048, 64)).astype(np.float32)
     mv, mi = bank_min_dist_pallas(jnp.asarray(patch), jnp.asarray(bank),
-                                  tile=256, compute_dtype="int8")
+                                  tile=256, compute_dtype="int8",
+                                  refine=False)
     d = np.linalg.norm(patch[:, None].astype(np.float64)
                        - bank[None].astype(np.float64), axis=-1)
     np.testing.assert_allclose(np.asarray(mv), d.min(1), rtol=5e-3)
     chosen = d[np.arange(300), np.asarray(mi)]
     np.testing.assert_allclose(chosen, d.min(1), rtol=5e-3)
+
+    mv_r, mi_r = bank_min_dist_pallas(jnp.asarray(patch), jnp.asarray(bank),
+                                      tile=256, compute_dtype="int8")
+    np.testing.assert_array_equal(np.asarray(mi_r), np.asarray(mi))
+    np.testing.assert_allclose(np.asarray(mv_r),
+                               d[np.arange(300), np.asarray(mi_r)],
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_pallas_min_dist_int8_near_duplicate_rows(rng):
@@ -184,10 +194,13 @@ def test_pallas_min_dist_int8_near_duplicate_rows(rng):
     per-row magnitudes), so on near-zero min distances — test patches
     (nearly) coincident with bank rows, the normal-patch regime that
     dominates s_map — the RELATIVE error is unbounded and the rtol test
-    above proves nothing.  This pins the regime with an absolute bound:
+    above proves nothing.  This pins the RAW regime with an absolute bound:
     error <= 10% of the patch row norm (measured ~5-8% worst-case at exact
-    coincidence for D in {64, 768}); the metric-level consequence is
-    arbitrated on-chip by test_tpu_only.test_int8_end_metric_delta."""
+    coincidence for D in {64, 768}) — and pins the round-5 exact-refinement
+    collapsing it: the refined value is the true distance of the selected
+    (near-tied) row, <= 2e-2 absolute here vs the raw ~0.5.  The metric-
+    level consequence is arbitrated on-chip by
+    test_tpu_only.test_int8_end_metric_delta."""
     from cmdiad_tpu.ops.pallas_scoring import bank_min_dist_pallas
     d = 64
     patch = rng.normal(size=(128, d)).astype(np.float32)
@@ -196,13 +209,19 @@ def test_pallas_min_dist_int8_near_duplicate_rows(rng):
     bank[128:256] = patch + rng.normal(
         size=(128, d)).astype(np.float32) * 1e-3         # near-duplicates
     mv, _ = bank_min_dist_pallas(jnp.asarray(patch), jnp.asarray(bank),
-                                 tile=256, compute_dtype="int8")
+                                 tile=256, compute_dtype="int8",
+                                 refine=False)
     true = np.linalg.norm(patch[:, None].astype(np.float64)
                           - bank[None].astype(np.float64), axis=-1).min(1)
     np.testing.assert_allclose(true, 0.0, atol=1e-3)     # regime sanity
     row_norm = np.linalg.norm(patch, axis=1)
     assert np.all(np.abs(np.asarray(mv) - true) <= 0.1 * row_norm), (
         np.max(np.abs(np.asarray(mv) - true) / row_norm))
+
+    mv_r, _ = bank_min_dist_pallas(jnp.asarray(patch), jnp.asarray(bank),
+                                   tile=256, compute_dtype="int8")
+    assert np.all(np.abs(np.asarray(mv_r) - true) <= 2e-2), (
+        np.max(np.abs(np.asarray(mv_r) - true)))
 
 
 def test_l2_int8_dense_paths_are_exact_l2(rng):
