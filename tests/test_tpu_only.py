@@ -112,14 +112,18 @@ def test_int8_end_metric_delta(signal_root, capsys):
     actually exercises the compiled int8 kernel on the chip.  NOTE this is
     deliberately the int8 kernel's WORST-CASE regime: with every train row
     banked, good-image test patches are near-duplicates of bank rows, where
-    the int8 cross-term error is absolute (~5% of row norm at coincidence —
-    see ops/pallas_scoring.py) rather than ~0.1% relative.  Measured on
-    chip (2026-08-19, artifacts/tpu_suite_r5.log): pixel-AUROC delta 7.3e-3,
-    AU-PRO 1.7e-2, AU-PRO@0.01 6.7e-2, image AUROC 3 pair-swaps out of 18
-    (0.83->1.00 — the 9-image fixture quantises image AUROC at 1/18) — two
-    orders above the approx-KNN envelope (3e-5 pixel), which is exactly why
-    'l2' stays the config default and 'l2_int8' is a documented
-    throughput-first opt-in.  Bounds pin that measured envelope."""
+    true min distances ~0 make any quantisation effect relatively
+    unbounded (see ops/pallas_scoring.py and
+    test_refined_kernel_end_metric_parity below for the raw-vs-refined
+    anatomy of this fixture).  Measured on chip with the round-5
+    exact-refined kernels (2026-08-19): pixel-AUROC delta 7.1e-3, AU-PRO
+    2.4e-2, AU-PRO@0.01 2.7e-2, image AUROC 3 pair-swaps out of 18
+    (0.78->0.94 — the 9-image fixture quantises image AUROC at 1/18) —
+    post-refinement this is pure s8-vs-bf16 SELECTION divergence among
+    near-ties; two orders above the approx-KNN envelope (3e-5 pixel),
+    which is exactly why 'l2' stays the config default and 'l2_int8' is a
+    documented throughput-first opt-in.  Bounds pin that measured
+    envelope."""
     from test_e2e import _cfg, _run
 
     m_l2 = _run(_cfg(method_name="DINO+Point_MAE", max_sample=12,
@@ -136,6 +140,47 @@ def test_int8_end_metric_delta(signal_root, capsys):
               "au_pro": 0.05, "au_pro_001": 0.1}
     for k, d in deltas.items():
         assert d < bounds[k], (k, m_int8, m_l2)
+
+
+def test_refined_kernel_end_metric_parity(signal_root, monkeypatch, capsys):
+    """The round-5 exact-refinement claim arbitrated at the END-METRIC
+    level: the default 'l2' path (bf16 bank-min kernel whose quantised
+    product only SELECTS the argmin, value recomputed exactly in f32 —
+    ops/pallas_scoring._exact_refine) vs the pure exact-jnp path (kernel
+    gate forced off), on the same worst-case f_coreset=1.0 near-duplicate
+    fixture as the int8 delta above.
+
+    This is the fixture regime where the RAW kernels' absolute cross-term
+    error floor (~5% of row norm at coincidence) inflated metrics by
+    scoring feature MAGNITUDE on top of distance — measured on chip
+    (2026-08-19): raw-bf16 au_pro 0.934 vs exact-jnp 0.721, a +0.21
+    artifact.  Refinement removes the VALUE noise (refined-bf16 0.794);
+    the residual vs exact (image 5.6e-2, pixel 2.1e-2, au_pro 7.3e-2,
+    au_pro_001 4e-3) is pure SELECTION error: with true min ~0, a bf16
+    near-tie argmin flip reports the true distance of a different
+    near-tie, which is relatively unbounded exactly here.  In the
+    production regime (f_coreset=0.1 — test patches O(0.1) from bank
+    rows) selection flips sit inside the ~0.4% envelope pinned by
+    test_kernel_scoring_matches_exact_path.  Bounds pin the measured
+    worst-case residual."""
+    from test_e2e import _cfg, _run
+    import cmdiad_tpu.ops.scoring as scoring
+
+    cfg = _cfg(method_name="DINO+Point_MAE", max_sample=12, f_coreset=1.0)
+    m_kernel = _run(cfg, signal_root)
+    monkeypatch.setattr(scoring, "use_scoring_kernel",
+                        lambda rows, metric: False)
+    m_exact = _run(cfg, signal_root)
+
+    deltas = {k: abs(m_kernel[k] - m_exact[k]) for k in m_exact}
+    with capsys.disabled():
+        print(f"\n[refined-delta] kernel={m_kernel} exact={m_exact} "
+              f"deltas={deltas}")
+    assert m_exact["image_rocauc"] > 0.7, m_exact
+    bounds = {"image_rocauc": 0.12, "pixel_rocauc": 0.04,
+              "au_pro": 0.1, "au_pro_001": 0.02}
+    for k, d in deltas.items():
+        assert d < bounds[k], (k, m_kernel, m_exact)
 
 
 def test_flash_attention_kernel_matches_fallback(rng):
