@@ -14,8 +14,11 @@ is measured with the same chained-readback methodology as bench.py:
 Stage times are measured in isolation, so their sum slightly exceeds the
 fused full-pipeline time (XLA overlaps/fuses across stages there).
 
-Usage: python benchmarks/phase_breakdown.py [bank_rows] [batch] [dtype]
-Writes benchmarks/phase_breakdown_b{batch}.json and prints a table.
+Usage: python benchmarks/phase_breakdown.py [bank_rows] [batch] [dtype] [metric]
+`metric` (default "l2") also accepts "l2_int8" — the round-5 shipped bench
+default — so the attribution table can be refreshed for the int8 scoring
+mode.  Writes benchmarks/phase_breakdown_b{batch}[_int8].json and prints a
+table.
 """
 
 import json
@@ -58,6 +61,7 @@ def main():
     bank_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
+    metric = sys.argv[4] if len(sys.argv) > 4 else "l2"
 
     import jax
     import jax.numpy as jnp
@@ -106,7 +110,7 @@ def main():
 
     def score(patches, bank, hw):
         def one(p):
-            s, m = patchcore_score(p, bank, hw)
+            s, m = patchcore_score(p, bank, hw, metric=metric)
             return s + 1e-9 * jnp.sum(m)
         return jnp.sum(jax.vmap(one)(patches))
 
@@ -125,8 +129,8 @@ def main():
         xp = backbone.xyz_patches(p_, x, compact_pts=c)["xyz_patch"]
 
         def one(a, b):
-            s1, m1 = patchcore_score(a, rgb_bank, (grid, grid))
-            s2, m2 = patchcore_score(b, xyz_bank, (56, 56))
+            s1, m1 = patchcore_score(a, rgb_bank, (grid, grid), metric=metric)
+            s2, m2 = patchcore_score(b, xyz_bank, (56, 56), metric=metric)
             return s1 + s2 + 1e-9 * (jnp.sum(m1) + jnp.sum(m2))
         return jnp.sum(jax.vmap(one)(rp, xp))
 
@@ -146,11 +150,12 @@ def main():
         print(f"[trace] {trace_note}", flush=True)
 
     out = {"bank_rows": bank_rows, "batch": batch, "dtype": dtype,
-           "backend": jax.default_backend(),
+           "metric": metric, "backend": jax.default_backend(),
            "ms_per_image": {k: round(v, 3) for k, v in phases.items()},
            "profiler_trace": trace_note, "ts": time.time()}
+    suffix = "" if metric == "l2" else f"_{metric.removeprefix('l2_')}"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"phase_breakdown_b{batch}.json")
+                        f"phase_breakdown_b{batch}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["ms_per_image"]))
